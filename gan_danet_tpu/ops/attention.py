@@ -1,0 +1,132 @@
+"""Position (PAM) and channel (CAM) attention primitives.
+
+Reference semantics (models/generator.py:104-139):
+
+  PAM:  energy[i,j] = q_i . k_j  (NO 1/sqrt(d) scaling);
+        attn = softmax over j;  out_i = sum_j attn[i,j] * v_j.
+        At the 0.05deg inference resolution the token count is
+        N = 88*180 = 15,840, so the (N,N) energy matrix is 251M entries —
+        the memory wall of the reference model (SURVEY.md §5 long-context).
+
+  CAM:  gram = X @ X^T over channels (C,C);
+        energy_new = rowmax(gram) - gram  ("max-trick" INVERTED similarity,
+        models/generator.py:135);  attn = softmax over last axis;
+        out = attn @ X.
+
+TPU-first implementations:
+  * `pam_attention(..., impl='xla')`  — q-block-chunked lax.scan: O(bq*N)
+    memory, pure JAX, differentiable, runs anywhere (CPU tests).
+  * `pam_attention(..., impl='pallas')` — fused flash-style Pallas kernel
+    with online softmax (gan_danet_tpu/ops/pallas/pam_kernel.py); backward
+    pass routes through the XLA implementation via custom_vjp.
+  * `impl='naive'` — materialises (N,N); test oracle only.
+  * CAM is a (C,C) gram (C <= 184 here): two MXU matmuls, fused by XLA.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+
+# ---------------------------------------------------------------------------
+# PAM
+# ---------------------------------------------------------------------------
+
+def _pam_naive(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray) -> jnp.ndarray:
+    """(B,N,d),(B,N,d),(B,N,C) -> (B,N,C). Materialises (B,N,N)."""
+    energy = jnp.einsum("bid,bjd->bij", q, k, preferred_element_type=jnp.float32)
+    attn = jax.nn.softmax(energy, axis=-1)
+    return jnp.einsum("bij,bjc->bic", attn, v.astype(attn.dtype)).astype(v.dtype)
+
+
+def _pam_xla_blocked(
+    q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray, block_q: int = 512
+) -> jnp.ndarray:
+    """Chunked over query blocks with lax.scan: never holds more than
+    (block_q, N) energies. Differentiable; used as the VJP path for the
+    Pallas kernel and as the CPU/interpret fallback."""
+    b, n, d = q.shape
+    c = v.shape[-1]
+    bq = min(block_q, n)
+    n_pad = (-n) % bq
+    qp = jnp.pad(q, ((0, 0), (0, n_pad), (0, 0)))
+    nq = qp.shape[1] // bq
+    qp = qp.reshape(b, nq, bq, d)
+
+    kf = k.astype(jnp.float32)
+    vf = v.astype(jnp.float32)
+
+    def step(_, q_blk):
+        e = jnp.einsum("bqd,bnd->bqn", q_blk.astype(jnp.float32), kf,
+                       preferred_element_type=jnp.float32)
+        a = jax.nn.softmax(e, axis=-1)
+        return None, jnp.einsum("bqn,bnc->bqc", a, vf)
+
+    _, out = jax.lax.scan(step, None, jnp.moveaxis(qp, 1, 0))
+    out = jnp.moveaxis(out, 0, 1).reshape(b, nq * bq, c)[:, :n]
+    return out.astype(v.dtype)
+
+
+@jax.custom_vjp
+def _pam_flash(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray) -> jnp.ndarray:
+    from gan_danet_tpu.ops.pallas.pam_kernel import pam_flash_forward
+
+    return pam_flash_forward(q, k, v)
+
+
+def _pam_flash_fwd(q, k, v):
+    return _pam_flash(q, k, v), (q, k, v)
+
+
+def _pam_flash_bwd(res, g):
+    q, k, v = res
+    _, vjp = jax.vjp(_pam_xla_blocked, q, k, v)
+    return vjp(g)
+
+
+_pam_flash.defvjp(_pam_flash_fwd, _pam_flash_bwd)
+
+
+def pam_attention(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    impl: str = "auto",
+) -> jnp.ndarray:
+    """Unscaled softmax(QK^T)V attention over flattened spatial tokens.
+
+    q, k: (B, N, d); v: (B, N, C). Returns (B, N, C).
+    impl: 'auto' | 'pallas' | 'xla' | 'naive'.
+    """
+    if impl == "auto":
+        impl = "pallas" if jax.default_backend() == "tpu" else "xla"
+    if impl == "pallas":
+        return _pam_flash(q, k, v)
+    if impl == "xla":
+        return _pam_xla_blocked(q, k, v)
+    if impl == "naive":
+        return _pam_naive(q, k, v)
+    raise ValueError(f"unknown pam impl: {impl}")
+
+
+# ---------------------------------------------------------------------------
+# CAM
+# ---------------------------------------------------------------------------
+
+def cam_attention(x_tokens: jnp.ndarray) -> jnp.ndarray:
+    """Channel attention on (B, N, C) tokens -> (B, N, C).
+
+    gram[c1,c2] = sum_n x[n,c1] x[n,c2]; energy = rowmax(gram) - gram;
+    out[:, c1] = sum_c2 softmax_c2(energy)[c1,c2] * x[:, c2].
+    Faithful to CAMModule (models/generator.py:125-139) including the
+    inverted-similarity max trick.
+    """
+    xf = x_tokens.astype(jnp.float32)
+    gram = jnp.einsum("bnc,bnd->bcd", xf, xf, preferred_element_type=jnp.float32)
+    energy = jnp.max(gram, axis=-1, keepdims=True) - gram
+    attn = jax.nn.softmax(energy, axis=-1)
+    out = jnp.einsum("bcd,bnd->bnc", attn, xf)
+    return out.astype(x_tokens.dtype)
