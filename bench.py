@@ -1,0 +1,186 @@
+"""Benchmark: full adversarial train-step throughput (samples/sec/chip) at
+the reference training configuration (BASELINE.json config #2).
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "samples/sec/chip", "vs_baseline": N}
+
+Baseline: the reference's own torch modules (imported read-only from
+/root/reference) running the same train step on CPU — the only hardware the
+notebook stack runs on here. torchvision is absent in this image, so the
+perceptual term is excluded on BOTH sides for apples-to-apples (the
+reference's losses.py cannot even import without torchvision). The measured
+CPU number is cached in BENCH_BASELINE.json.
+"""
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+import numpy as np
+
+REPO = Path(__file__).resolve().parent
+BASELINE_CACHE = REPO / "BENCH_BASELINE.json"
+
+BATCH = 12
+H05, W05 = 44, 90
+H25, W25 = 88, 180
+N_AUX = 45
+WARMUP = 3
+ITERS = 20
+
+
+def _fake_batch(rng):
+    return {
+        "lr05": rng.standard_normal((BATCH, H05, W05, 1)).astype(np.float32),
+        "lr025": rng.standard_normal((BATCH, H25, W25, 1)).astype(np.float32),
+        "aux": rng.standard_normal((BATCH, H25, W25, N_AUX)).astype(np.float32),
+    }
+
+
+def measure_ours() -> float:
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from gan_danet_tpu.core.config import GeneratorConfig, LossConfig, TrainConfig
+    from gan_danet_tpu.models.discriminator import Discriminator1
+    from gan_danet_tpu.models.generator import FlexibleUpsamplingModule
+    from gan_danet_tpu.models.losses import GeneratorLoss
+    from gan_danet_tpu.train.gan import init_gan_state, make_train_step
+
+    tc = TrainConfig()
+    gen = FlexibleUpsamplingModule(GeneratorConfig(input_channels=N_AUX + 1))
+    disc = Discriminator1(input_hw=(H25, W25))
+    g_tx = optax.adamw(tc.lr_g, b1=tc.adam_b1, b2=tc.adam_b2,
+                       weight_decay=tc.weight_decay)
+    d_tx = optax.adamw(tc.lr_d, b1=tc.adam_b1, b2=tc.adam_b2,
+                       weight_decay=tc.weight_decay)
+    g_loss = GeneratorLoss(LossConfig(use_perceptual=False))
+    compute_dtype = jnp.bfloat16
+
+    step = make_train_step(gen, disc, g_loss, g_tx, d_tx,
+                           (H25 // 4, W25 // 4), compute_dtype)
+
+    rng = np.random.default_rng(0)
+    batch = {k: jnp.asarray(v) for k, v in _fake_batch(rng).items()}
+    state = init_gan_state(gen, disc, g_tx, d_tx, batch, (H25 // 4, W25 // 4))
+
+    lw = jnp.float32(0.5)
+    for _ in range(WARMUP):
+        state, metrics = step(state, batch, lw)
+    jax.block_until_ready(state.g_params)
+
+    t0 = time.perf_counter()
+    for _ in range(ITERS):
+        state, metrics = step(state, batch, lw)
+    jax.block_until_ready(state.g_params)
+    dt = time.perf_counter() - t0
+    return BATCH * ITERS / dt
+
+
+def measure_reference_cpu(max_seconds: float = 180.0) -> float:
+    """Torch-CPU throughput of the reference train step (G fwd, D step,
+    G step with MSE+adv+TV), using the reference's own modules."""
+    import importlib.util
+
+    import torch
+    import torch.nn.functional as F
+
+    def _load(name, path):
+        spec = importlib.util.spec_from_file_location(name, path)
+        mod = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(mod)
+        return mod
+
+    # load module files directly — the reference package __init__ imports
+    # torchvision (absent in this image)
+    gen_mod = _load("_ref_generator", "/root/reference/models/generator.py")
+    disc_mod = _load("_ref_discriminator",
+                     "/root/reference/models/discriminator.py")
+    FlexibleUpsamplingModule = gen_mod.FlexibleUpsamplingModule
+    Discriminator1 = disc_mod.Discriminator1
+
+    torch.manual_seed(0)
+    gen = FlexibleUpsamplingModule(input_channels=N_AUX + 1,
+                                   attention_type="danet")
+    disc = Discriminator1()
+    opt_g = torch.optim.AdamW(gen.parameters(), lr=2e-4, betas=(0.5, 0.999),
+                              weight_decay=1e-4)
+    opt_d = torch.optim.AdamW(disc.parameters(), lr=4e-4, betas=(0.5, 0.999),
+                              weight_decay=1e-4)
+    bce = torch.nn.BCEWithLogitsLoss()
+    mse = torch.nn.MSELoss()
+
+    rng = np.random.default_rng(0)
+    b = _fake_batch(rng)
+    lr05 = torch.from_numpy(b["lr05"]).permute(0, 3, 1, 2)
+    lr025 = torch.from_numpy(b["lr025"]).permute(0, 3, 1, 2)
+    aux = torch.from_numpy(b["aux"]).permute(0, 3, 1, 2)
+
+    def one_step():
+        lr = F.interpolate(lr05, scale_factor=0.5, mode="bicubic",
+                           align_corners=False)
+        da = F.interpolate(aux, scale_factor=0.25, mode="bicubic",
+                           align_corners=False)
+        x = torch.cat([lr, da], dim=1)
+        fake = gen(x)
+        opt_d.zero_grad()
+        r_log = disc(lr025)
+        f_log = disc(fake.detach())
+        loss_d = 0.5 * (bce(r_log, torch.ones_like(r_log))
+                        + bce(f_log, torch.zeros_like(f_log)))
+        loss_d.backward()
+        opt_d.step()
+        opt_g.zero_grad()
+        f_log = disc(fake)
+        tv = (fake[:, :, 1:].sub(fake[:, :, :-1]).pow(2).mean()
+              + fake[:, :, :, 1:].sub(fake[:, :, :, :-1]).pow(2).mean())
+        loss_g = (0.5 * mse(fake, lr025)
+                  + 0.5 * bce(f_log, torch.ones_like(f_log))
+                  + 1e-5 * 2 * tv / BATCH)
+        loss_g.backward()
+        opt_g.step()
+
+    one_step()  # warmup
+    iters = 0
+    t0 = time.perf_counter()
+    while True:
+        one_step()
+        iters += 1
+        dt = time.perf_counter() - t0
+        if iters >= 5 or dt > max_seconds:
+            break
+    return BATCH * iters / dt
+
+
+def get_baseline() -> dict:
+    if BASELINE_CACHE.exists():
+        return json.loads(BASELINE_CACHE.read_text())
+    try:
+        sps = measure_reference_cpu()
+        rec = {"samples_per_sec": sps,
+               "what": "reference torch modules, CPU, G+D step, no perceptual"}
+    except Exception as e:  # pragma: no cover
+        rec = {"samples_per_sec": None, "error": str(e)}
+    BASELINE_CACHE.write_text(json.dumps(rec, indent=2))
+    return rec
+
+
+def main():
+    baseline = get_baseline()
+    ours = measure_ours()
+    vs = (ours / baseline["samples_per_sec"]
+          if baseline.get("samples_per_sec") else None)
+    print(json.dumps({
+        "metric": "gan_danet_train_step_0.5to0.25",
+        "value": round(ours, 2),
+        "unit": "samples/sec/chip",
+        "vs_baseline": round(vs, 2) if vs else None,
+    }))
+
+
+if __name__ == "__main__":
+    main()

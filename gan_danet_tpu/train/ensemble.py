@@ -1,0 +1,197 @@
+"""Deep-ensemble uncertainty machinery (behavioural parity:
+deep_ensemble.ipynb `EnsembleTrainer`), redesigned for ensemble
+parallelism.
+
+The reference trains 5 members SEQUENTIALLY (seeds 42+i, identical data
+split rand=42) — SURVEY.md §2.10 calls member-parallelism "the single
+biggest cheap win". Here member states are stacked on a leading axis and
+the whole ensemble trains as ONE vmapped/jitted step; on a multi-chip mesh
+the member axis shards over 'ensemble' while batches shard over 'data'.
+
+Early stopping per member is replaced by per-member best-weights tracking
+with restore-at-end — the same returned weights as the reference's
+patience-20 early stop (which also restores the best checkpoint), without
+divergent control flow inside the compiled program.
+"""
+from __future__ import annotations
+
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from gan_danet_tpu.core.config import ExperimentConfig
+from gan_danet_tpu.core.logger import MetricsLogger
+from gan_danet_tpu.data.dataset import ArrayDataset, Batcher
+from gan_danet_tpu.train.gan import GANTrainState, init_gan_state
+from gan_danet_tpu.train.trainer import ModelTrainer
+
+
+class EnsembleTrainer:
+    def __init__(
+        self,
+        config: ExperimentConfig,
+        num_ensemble: int = 5,
+        data: Optional[Tuple] = None,
+        logger: Optional[MetricsLogger] = None,
+        mesh=None,
+    ):
+        self.config = config
+        self.num_ensemble = num_ensemble
+        self.mesh = mesh
+        self.logger = logger or MetricsLogger(echo=False)
+        # one ModelTrainer supplies data plumbing, models, optimizers, and
+        # the single-member step; member states are stacked over axis 0
+        self.base = ModelTrainer(config, data=data, logger=self.logger)
+
+        sample = next(iter(self.base.train_loader))
+        seeds = [config.train.seed + i for i in range(num_ensemble)]
+        states = [
+            init_gan_state(self.base.generator, self.base.discriminator,
+                           self.base.g_tx, self.base.d_tx, sample,
+                           self.base.coarse_hw, seed=s)
+            for s in seeds
+        ]
+        self.state = jax.tree.map(lambda *xs: jnp.stack(xs), *states)
+
+        single = self.base._train_step.raw
+        vmapped = jax.vmap(single, in_axes=(0, None, None))
+        if mesh is not None:
+            # Manual-SPMD over 'ensemble' (each shard trains its local
+            # members), 'data' left automatic so GSPMD inserts the batch
+            # allreduce inside each member program. (Plain vmap+GSPMD fails
+            # here: vmap folds the member axis into conv feature groups,
+            # which the partitioner can't split.)
+            from jax.sharding import PartitionSpec as P
+
+            self._ensemble_step = jax.jit(jax.shard_map(
+                vmapped,
+                mesh=mesh,
+                in_specs=(P("ensemble"), P(), P()),
+                out_specs=(P("ensemble"), P("ensemble")),
+                axis_names={"ensemble"},
+                check_vma=False,
+            ))
+        else:
+            self._ensemble_step = jax.jit(vmapped)
+        eval_single = self.base._eval_step
+        self._ensemble_eval = jax.jit(jax.vmap(eval_single,
+                                               in_axes=(0, 0, None)))
+
+    # ------------------------------------------------------------------
+    def train_ensemble(self):
+        tc = self.config.train
+        n_members = self.num_ensemble
+        best_loss = np.full(n_members, np.inf)
+        best_params = None
+        best_stats = None
+        history = []
+
+        for epoch in range(tc.epochs):
+            lw = jnp.float32(epoch / tc.epochs)
+            sums = np.zeros(n_members)
+            n_batches = 0
+            for batch in self.base.train_loader:
+                batch = jax.tree.map(jnp.asarray, batch)
+                self.state, metrics = self._ensemble_step(self.state, batch, lw)
+                sums += np.asarray(metrics["loss_g"])
+                n_batches += 1
+            avg = sums / n_batches
+            history.append(avg)
+            self.logger.log("ensemble_epoch", epoch=epoch,
+                            loss_g_mean=float(avg.mean()))
+
+            improved = avg < best_loss
+            if improved.any():
+                cur_p = jax.device_get(self.state.g_params)
+                cur_s = jax.device_get(self.state.g_batch_stats)
+                if best_params is None:
+                    best_params, best_stats = cur_p, cur_s
+                else:
+                    sel = improved
+
+                    def pick(new, old):
+                        mask = sel.reshape((-1,) + (1,) * (new.ndim - 1))
+                        return np.where(mask, new, old)
+
+                    best_params = jax.tree.map(pick, cur_p, best_params)
+                    best_stats = jax.tree.map(pick, cur_s, best_stats)
+                best_loss = np.minimum(best_loss, avg)
+
+        if best_params is not None:
+            self.state = self.state.replace(
+                g_params=jax.tree.map(jnp.asarray, best_params),
+                g_batch_stats=jax.tree.map(jnp.asarray, best_stats),
+            )
+        return np.stack(history) if history else np.zeros((0, n_members))
+
+    # ------------------------------------------------------------------
+    def predict_ensemble(self, dataset: Optional[ArrayDataset] = None,
+                         batch_size: Optional[int] = None) -> np.ndarray:
+        """(members, N, H, W, 1) predictions over the full (unshuffled)
+        dataset — reference deep_ensemble.ipynb:367."""
+        if dataset is None:
+            ds = self.base.train_ds
+            full = ArrayDataset(
+                np.concatenate([ds.lr_grace_05, self.base.test_ds.lr_grace_05]),
+                np.concatenate([ds.lr_grace_025, self.base.test_ds.lr_grace_025]),
+                np.concatenate([ds.hr_aux, self.base.test_ds.hr_aux]),
+            )
+        else:
+            full = dataset
+        loader = Batcher(full, batch_size or self.config.train.batch_size)
+        n = len(full)
+        outs, seen = [], 0
+        for batch in loader:
+            batch = jax.tree.map(jnp.asarray, batch)
+            pred = self._ensemble_eval(self.state.g_params,
+                                       self.state.g_batch_stats, batch)
+            take = min(pred.shape[1], n - seen)
+            outs.append(np.asarray(pred)[:, :take])
+            seen += take
+        return np.concatenate(outs, axis=1)
+
+    # ------------------------------------------------------------------
+    def compute_uncertainty(
+        self,
+        predictions: np.ndarray,
+        trues: Optional[np.ndarray] = None,
+        mask: Optional[np.ndarray] = None,
+    ) -> Dict[str, np.ndarray]:
+        """Member mean/std maps + spatial-mean series stats
+        (reference deep_ensemble.ipynb:438): mask, nanmean over space per
+        member, mean/std across members, R2 of the ensemble mean."""
+        preds = predictions[..., 0] if predictions.ndim == 5 else predictions
+        if mask is not None:
+            preds = np.where(mask[None, None] > 0, preds, np.nan)
+        mean_map = np.nanmean(preds, axis=0)          # (N, H, W)
+        std_map = np.nanstd(preds, axis=0)
+        series = np.nanmean(preds, axis=(2, 3))       # (members, N)
+        out = {
+            "mean_predictions": mean_map,
+            "uncertainty": std_map,
+            "member_series": series,
+            "series_mean": series.mean(axis=0),
+            "series_std": series.std(axis=0),
+        }
+        if trues is not None:
+            t = trues[..., 0] if trues.ndim == 4 else trues
+            if mask is not None:
+                t = np.where(mask[None] > 0, t, np.nan)
+            ts = np.nanmean(t, axis=(1, 2))
+            ss_res = np.sum((ts - out["series_mean"]) ** 2)
+            ss_tot = np.sum((ts - ts.mean()) ** 2)
+            out["r2"] = 1.0 - ss_res / ss_tot if ss_tot > 0 else np.nan
+        return out
+
+    def save_artifacts(self, directory, results: Dict[str, np.ndarray]) -> None:
+        """ensemble_mean_predictions.npy / ensemble_uncertainty*.npy /
+        ensemble_trues.npy producer (reference main(), cell 0)."""
+        from pathlib import Path
+
+        d = Path(directory)
+        d.mkdir(parents=True, exist_ok=True)
+        np.save(d / "ensemble_mean_predictions.npy", results["mean_predictions"])
+        np.save(d / "ensemble_uncertainty.npy", results["uncertainty"])
+        np.save(d / "ensemble_uncertainty_averaged.npy", results["series_std"])

@@ -1,0 +1,208 @@
+"""ModelTrainer — the end-to-end training driver (behavioural parity:
+GAN_DANet_train.ipynb cell 0), TPU-native.
+
+Faithful semantics: cache-or-rebuild data; sklearn train_test_split with
+the member seed; unshuffled DataLoader on the main path; AdamW(0.5, 0.999,
+wd 1e-4) at lr 2e-4 (G) / 4e-4 (D); CosineAnnealingWarmRestarts(10, 2,
+1e-6) stepped per epoch; curriculum adversarial weight epoch/epochs; early
+stopping patience 20 on avg G loss with best-weights restore; evaluate()
+reports MSE/MAE/R2/corrcoef over flattened standardized pixels.
+"""
+from __future__ import annotations
+
+import copy
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from gan_danet_tpu.core.config import (
+    DiscriminatorConfig,
+    ExperimentConfig,
+    GeneratorConfig,
+)
+from gan_danet_tpu.core.logger import MetricsLogger
+from gan_danet_tpu.data.dataset import (
+    ArrayDataset,
+    Batcher,
+    apply_augmentation,
+    train_test_split_indices,
+)
+from gan_danet_tpu.data.pipeline import load_or_build_cache
+from gan_danet_tpu.models.discriminator import Discriminator1
+from gan_danet_tpu.models.generator import FlexibleUpsamplingModule
+from gan_danet_tpu.models.losses import GeneratorLoss
+from gan_danet_tpu.train.gan import (
+    GANTrainState,
+    init_gan_state,
+    make_eval_step,
+    make_train_step,
+)
+from gan_danet_tpu.train.schedules import cosine_warm_restarts
+
+
+class ModelTrainer:
+    def __init__(
+        self,
+        config: ExperimentConfig,
+        data: Optional[Tuple] = None,
+        logger: Optional[MetricsLogger] = None,
+    ):
+        self.config = config
+        tc = config.train
+        self.logger = logger or MetricsLogger(echo=False)
+
+        if data is None:
+            data = load_or_build_cache(config.data, augmented=True)
+        ([lr05, self.trend05], [lr025, self.trend25], hr_aux,
+         self.scaler05, self.scaler025, self.aux_scalers) = data
+
+        n = lr05.shape[0]
+        train_idx, test_idx = train_test_split_indices(
+            n, tc.test_fraction, tc.seed)
+        self.train_ds = ArrayDataset(lr05[train_idx], lr025[train_idx],
+                                     hr_aux[train_idx])
+        self.test_ds = ArrayDataset(lr05[test_idx], lr025[test_idx],
+                                    hr_aux[test_idx])
+        self.train_loader = Batcher(self.train_ds, tc.batch_size,
+                                    shuffle=tc.shuffle, seed=tc.seed)
+        self.test_loader = Batcher(self.test_ds, tc.batch_size)
+
+        h25, w25 = lr025.shape[1:3]
+        self.coarse_hw = (h25 // 4, w25 // 4)
+        n_aux = hr_aux.shape[-1]
+
+        gen_cfg = config.generator
+        if gen_cfg.input_channels != n_aux + 1:
+            gen_cfg = GeneratorConfig(
+                **{**gen_cfg.__dict__, "input_channels": n_aux + 1})
+        self.generator = FlexibleUpsamplingModule(gen_cfg)
+        self.discriminator = Discriminator1(
+            input_hw=(h25, w25),
+            widths=config.discriminator.widths,
+            hidden=config.discriminator.hidden,
+        )
+
+        steps_per_epoch = max(1, len(self.train_loader))
+        self.g_tx = optax.adamw(
+            cosine_warm_restarts(tc.lr_g, steps_per_epoch, tc.cosine_t0,
+                                 tc.cosine_t_mult, tc.eta_min),
+            b1=tc.adam_b1, b2=tc.adam_b2, weight_decay=tc.weight_decay,
+        )
+        self.d_tx = optax.adamw(
+            cosine_warm_restarts(tc.lr_d, steps_per_epoch, tc.cosine_t0,
+                                 tc.cosine_t_mult, tc.eta_min),
+            b1=tc.adam_b1, b2=tc.adam_b2, weight_decay=tc.weight_decay,
+        )
+
+        self.g_loss = GeneratorLoss(config.loss, vgg_seed=tc.seed)
+        compute_dtype = jnp.bfloat16 if tc.dtype == "bfloat16" else jnp.float32
+        self._train_step = make_train_step(
+            self.generator, self.discriminator, self.g_loss,
+            self.g_tx, self.d_tx, self.coarse_hw, compute_dtype,
+        )
+        self._eval_step = make_eval_step(self.generator, self.coarse_hw,
+                                         compute_dtype)
+
+        sample = next(iter(self.train_loader))
+        self.state: GANTrainState = init_gan_state(
+            self.generator, self.discriminator, self.g_tx, self.d_tx,
+            sample, self.coarse_hw, seed=tc.seed,
+        )
+        self._aug_key = jax.random.PRNGKey(tc.seed)
+        self.best_params = None
+        self.best_batch_stats = None
+
+    # ------------------------------------------------------------------
+    def train(self):
+        tc = self.config.train
+        losses_g, losses_d = [], []
+        best_loss = float("inf")
+        trigger = 0
+
+        for epoch in range(tc.epochs):
+            loss_weight = jnp.float32(epoch / tc.epochs)
+            epoch_g = epoch_d = 0.0
+            n_batches = 0
+            for batch in self.train_loader:
+                batch = jax.tree.map(jnp.asarray, batch)
+                if tc.augment:
+                    self._aug_key, k = jax.random.split(self._aug_key)
+                    batch = apply_augmentation(batch, k)
+                self.state, metrics = self._train_step(self.state, batch,
+                                                       loss_weight)
+                epoch_g += float(metrics["loss_g"])
+                epoch_d += float(metrics["loss_d"])
+                n_batches += 1
+
+            avg_g = epoch_g / n_batches
+            avg_d = epoch_d / n_batches
+            losses_g.append(avg_g)
+            losses_d.append(avg_d)
+            self.logger.log("epoch", epoch=epoch, loss_d=avg_d, loss_g=avg_g)
+
+            # early stopping on avg G loss (patience 20, min_delta 0)
+            if avg_g < best_loss - tc.early_stop_min_delta:
+                best_loss = avg_g
+                trigger = 0
+                self.best_params = jax.device_get(self.state.g_params)
+                self.best_batch_stats = jax.device_get(self.state.g_batch_stats)
+            else:
+                trigger += 1
+                if trigger >= tc.early_stop_patience:
+                    self.logger.log("early_stop", epoch=epoch)
+                    self._restore_best()
+                    return losses_g, losses_d
+
+        self._restore_best()
+        return losses_g, losses_d
+
+    def _restore_best(self):
+        if self.best_params is not None:
+            self.state = self.state.replace(
+                g_params=jax.tree.map(jnp.asarray, self.best_params),
+                g_batch_stats=jax.tree.map(jnp.asarray, self.best_batch_stats),
+            )
+
+    # ------------------------------------------------------------------
+    def evaluate(self) -> Dict[str, float]:
+        preds, trues = [], []
+        n_test = len(self.test_ds)
+        seen = 0
+        for batch in self.test_loader:
+            batch = jax.tree.map(jnp.asarray, batch)
+            pred = self._eval_step(self.state.g_params,
+                                   self.state.g_batch_stats, batch)
+            take = min(pred.shape[0], n_test - seen)  # drop wrap-around fill
+            preds.append(np.asarray(pred)[:take])
+            trues.append(np.asarray(batch["lr025"])[:take])
+            seen += take
+
+        p = np.concatenate(preds).reshape(-1)
+        t = np.concatenate(trues).reshape(-1)
+        mse = float(np.mean((p - t) ** 2))
+        mae = float(np.mean(np.abs(p - t)))
+        ss_res = float(np.sum((t - p) ** 2))
+        ss_tot = float(np.sum((t - t.mean()) ** 2))
+        r2 = 1.0 - ss_res / ss_tot if ss_tot > 0 else 0.0
+        cc = float(np.corrcoef(t, p)[0, 1])
+        self.logger.log("evaluate", mse=mse, mae=mae, r2=r2, cc=cc)
+        return {"mse": mse, "mae": mae, "r2": r2, "cc": cc}
+
+    # ------------------------------------------------------------------
+    def predict(self, loader: Optional[Batcher] = None) -> np.ndarray:
+        """Forward the (coarsened-input) pipeline over a loader; returns
+        stacked standardized-detrended predictions."""
+        loader = loader or self.test_loader
+        n = len(loader.dataset)
+        outs, seen = [], 0
+        for batch in loader:
+            batch = jax.tree.map(jnp.asarray, batch)
+            pred = self._eval_step(self.state.g_params,
+                                   self.state.g_batch_stats, batch)
+            take = min(pred.shape[0], n - seen)
+            outs.append(np.asarray(pred)[:take])
+            seen += take
+        return np.concatenate(outs)

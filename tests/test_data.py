@@ -1,0 +1,153 @@
+"""Data layer: synthetic generation, preprocessing pipeline, cache
+round-trip, batcher semantics."""
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from gan_danet_tpu.data.cache import cache_exists, load_cache, save_cache
+from gan_danet_tpu.data.dataset import (
+    ArrayDataset,
+    Batcher,
+    apply_augmentation,
+    train_test_split_indices,
+)
+from gan_danet_tpu.data.pipeline import (
+    load_data,
+    load_data_with_augmentation,
+    load_or_build_cache,
+)
+from gan_danet_tpu.data.preprocess import (
+    fill_placeholder_with_nearest,
+    frequency_domain_augmentation,
+)
+from gan_danet_tpu.data.scalers import StandardScaler, as_scaler_stats
+from gan_danet_tpu.data.synthetic import make_synthetic_raw, tiny_config
+
+
+def test_synthetic_shapes():
+    cfg = tiny_config(24)
+    raw = make_synthetic_raw(cfg, seed=1)
+    assert raw.grace_05.shape == (24, 8, 10)
+    assert raw.grace_025.shape == (24, 16, 20)
+    assert raw.gldas.shape == (24, 16, 20, 36)
+    assert raw.era5.shape == (24, 16, 20, 6)
+    assert raw.dem.shape == (16, 20)
+    assert set(np.unique(raw.mask_high)) <= {0.0, 1.0}
+
+
+def test_synthetic_block_consistency():
+    """0.5deg field must be the coarse view of the 0.25deg field."""
+    raw = make_synthetic_raw(tiny_config(24), seed=2)
+    block = raw.grace_025.reshape(24, 8, 2, 10, 2).mean(axis=(2, 4))
+    corr = np.corrcoef(block.ravel(), raw.grace_05.ravel())[0, 1]
+    assert corr > 0.99
+
+
+def test_load_data_contract():
+    cfg = tiny_config(36)
+    ([d05, t05], [d25, t25], aux, s05, s025, s_aux) = load_data(cfg)
+    assert d05.shape == (36, 8, 10) and t05.shape == d05.shape
+    assert d25.shape == (36, 16, 20) and t25.shape == d25.shape
+    assert aux.shape == (36, 16, 20, 45)
+    assert len(s_aux) == 45
+    # standardized + detrended: near zero mean
+    assert abs((d05 + t05).mean()) < 0.2
+    # reconstruction exactness (reference invariant)
+    stats = as_scaler_stats(s05)
+    assert stats.scale > 0
+
+
+def test_augmented_load_triples_time():
+    cfg = tiny_config(24)
+    ([d05, t05], [d25, t25], aux, *_s) = load_data_with_augmentation(cfg)
+    assert d05.shape[0] == 72  # (1 + 2 augmentations) * 24
+    assert t05.shape[0] == 72
+    assert aux.shape[0] == 72
+
+
+def test_cache_roundtrip(tmp_path):
+    cfg = tiny_config(24)
+    data = load_data(cfg)
+    ([d05, t05], [d25, t25], aux, s05, s025, s_aux) = data
+    save_cache(tmp_path, d05, t05, d25, t25, aux, s05, s025, s_aux)
+    assert cache_exists(tmp_path)
+    ([l05, lt05], [l25, lt25], laux, ls05, ls025, ls_aux) = load_cache(tmp_path)
+    np.testing.assert_array_equal(l05, d05.astype(np.float32))
+    np.testing.assert_allclose(ls05.mean_, s05.mean_)
+    assert len(ls_aux) == 45
+
+
+def test_load_or_build_cache_uses_cache(tmp_path):
+    import dataclasses
+
+    cfg = dataclasses.replace(tiny_config(24), cache_dir=str(tmp_path))
+    first = load_or_build_cache(cfg)
+    assert cache_exists(tmp_path)
+    second = load_or_build_cache(cfg)
+    np.testing.assert_array_equal(first[0][0], second[0][0])
+
+
+def test_fft_augmentation_preserves_shape_and_energy(rng):
+    x = rng.standard_normal((48, 6, 8)).astype(np.float32)
+    y = frequency_domain_augmentation(x, seasonal_freq=12, noise_level=0.1,
+                                      rng=np.random.default_rng(0))
+    assert y.shape == x.shape
+    assert 0.5 < y.std() / x.std() < 2.0
+    assert not np.allclose(y, x)
+
+
+def test_placeholder_inpainting(rng):
+    x = rng.standard_normal((4, 20, 24)).astype(np.float32) + 5.0
+    x[:, 5:8, 5:9] = -99999.0
+    filled = fill_placeholder_with_nearest(x, placeholder=-9999)
+    assert filled.min() > -50  # inpainted
+    assert np.allclose(filled[:, 0, 0], x[:, 0, 0])  # untouched elsewhere
+
+
+def test_scaler_roundtrip(rng):
+    x = 3.0 * rng.standard_normal((10, 5)) + 7.0
+    s = StandardScaler()
+    z = s.fit_transform(x)
+    assert abs(z.mean()) < 1e-9
+    np.testing.assert_allclose(s.inverse_transform(z), x, rtol=1e-9)
+
+
+def test_split_is_deterministic():
+    a1, b1 = train_test_split_indices(100, 0.2, 42)
+    a2, b2 = train_test_split_indices(100, 0.2, 42)
+    np.testing.assert_array_equal(a1, a2)
+    assert len(b1) == 20
+    a3, _ = train_test_split_indices(100, 0.2, 26)
+    assert not np.array_equal(a1, a3)
+
+
+def test_batcher_fixed_size_wraparound():
+    ds = ArrayDataset(np.arange(10).reshape(10, 1, 1).astype(np.float32) *
+                      np.ones((10, 4, 6), np.float32),
+                      np.zeros((10, 8, 12), np.float32),
+                      np.zeros((10, 8, 12, 3), np.float32))
+    batches = list(Batcher(ds, batch_size=4))
+    assert len(batches) == 3
+    for b in batches:
+        assert b["lr05"].shape == (4, 4, 6, 1)
+    # wrap-around: final batch reuses leading samples
+    np.testing.assert_array_equal(batches[2]["lr05"][2], batches[0]["lr05"][0])
+
+
+def test_batcher_drop_last():
+    ds = ArrayDataset(np.zeros((10, 4, 6), np.float32),
+                      np.zeros((10, 8, 12), np.float32),
+                      np.zeros((10, 8, 12, 3), np.float32))
+    assert len(list(Batcher(ds, 4, drop_last=True))) == 2
+
+
+def test_augmentation_jittable(rng):
+    batch = {
+        "lr05": jnp.asarray(rng.standard_normal((2, 4, 6, 1)).astype(np.float32)),
+        "lr025": jnp.asarray(rng.standard_normal((2, 8, 12, 1)).astype(np.float32)),
+        "aux": jnp.asarray(rng.standard_normal((2, 8, 12, 3)).astype(np.float32)),
+    }
+    out = jax.jit(apply_augmentation)(batch, jax.random.PRNGKey(0))
+    assert out["lr05"].shape == batch["lr05"].shape
+    assert out["aux"].shape == batch["aux"].shape
