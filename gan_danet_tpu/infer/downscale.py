@@ -1,0 +1,227 @@
+"""The two-stage inference/export pipelines (behavioural parity:
+test.ipynb cells 1 & 3 — SURVEY.md §2.7, §3.2-3.3).
+
+Stage 1 (0.25deg, `predict_025`): the training-style coarsened-input
+forward, mild histogram match (weight 0.2), trend re-add, inverse scaling,
+plateau masking, bias product for stage 2, HDF5 exports, Pearson r of the
+spatial-mean series.
+
+Stage 2 (0.05deg, `predict_005`): scale-transfer — the SAME generator fed
+NATIVE 0.25deg inputs, x4 forward + bicubic x1.25 => 0.05deg, optional
+histogram match (weight 0.0), edge blend against bicubic GRACE, trend/
+scale/mask/bias post-processing, NetCDF+CSV exports.
+
+TPU-first: the entire per-batch path (input build -> forward -> histogram
+match -> blend) is one jitted device program; only the final stack and the
+scipy-spline zooms (kept for parity with scipy.ndimage.zoom order=3) run
+on host.
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass
+from pathlib import Path
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from gan_danet_tpu.data.dataset import ArrayDataset, Batcher
+from gan_danet_tpu.data.scalers import as_scaler_stats
+from gan_danet_tpu.infer import export as exp
+from gan_danet_tpu.infer.blend import smooth_blend
+from gan_danet_tpu.ops.histmatch import batched_histogram_match
+from gan_danet_tpu.ops.resize import resize2d
+from gan_danet_tpu.train.gan import build_inputs
+
+
+def _zoom(arr: np.ndarray, factors, order: int = 3) -> np.ndarray:
+    from scipy.ndimage import zoom
+
+    return zoom(arr, factors, order=order)
+
+
+def _pearson(a: np.ndarray, b: np.ndarray) -> float:
+    try:
+        from scipy.stats import pearsonr
+
+        return float(pearsonr(a, b)[0])
+    except ImportError:  # pragma: no cover
+        return float(np.corrcoef(a, b)[0, 1])
+
+
+@dataclass
+class Stage1Result:
+    pred: np.ndarray          # (T, H25, W25) physical units, masked (nan)
+    truth: np.ndarray         # (T, H25, W25)
+    bias_high: np.ndarray     # (T, 4H, 4W) nearest-upsampled truth-pred
+    series_pred: np.ndarray
+    series_truth: np.ndarray
+    pearson_r: float
+
+
+def predict_025(
+    generator,
+    g_params,
+    g_batch_stats,
+    data,
+    mask_high: np.ndarray,
+    batch_size: int = 8,
+    hist_weight: float = 0.2,
+    export_dir: Optional[str] = None,
+) -> Stage1Result:
+    ([lr05, trend05], [lr025, trend25], hr_aux, _s05, s025, _sa) = data
+    h25, w25 = lr025.shape[1:3]
+    coarse_hw = (h25 // 4, w25 // 4)
+
+    @jax.jit
+    def step(batch):
+        x = build_inputs(batch, coarse_hw)
+        pred = generator.apply(
+            {"params": g_params, "batch_stats": g_batch_stats}, x, train=False)
+        return batched_histogram_match(pred, batch["lr025"], hist_weight)
+
+    ds = ArrayDataset(lr05, lr025, hr_aux)
+    loader = Batcher(ds, batch_size)
+    n = len(ds)
+    outs, seen = [], 0
+    for batch in loader:
+        batch = jax.tree.map(jnp.asarray, batch)
+        pred = step(batch)
+        take = min(pred.shape[0], n - seen)
+        outs.append(np.asarray(pred)[:take, ..., 0])
+        seen += take
+    res = np.concatenate(outs)                       # (T, H, W) standardized
+
+    res = res + trend25
+    truth = lr025 + trend25
+    stats = as_scaler_stats(s025)
+    res = stats.inverse_transform(res)
+    truth = stats.inverse_transform(truth)
+
+    res = np.where(mask_high[None] > 0, res, np.nan)
+    truth = np.where(mask_high[None] > 0, truth, np.nan)
+
+    bias = truth - res
+    bias_high = np.repeat(np.repeat(bias, 4, axis=1), 4, axis=2)
+
+    series_pred = np.nanmean(res, axis=(1, 2))
+    series_truth = np.nanmean(truth, axis=(1, 2))
+    r = _pearson(series_pred, series_truth)
+
+    if export_dir is not None:
+        d = Path(export_dir)
+        d.mkdir(parents=True, exist_ok=True)
+        exp.write_h5(d / "grace025.h5", truth)
+        # faithful quirk: grace05.h5 is saved in standardized units
+        exp.write_h5(d / "grace05.h5", lr05 + trend05)
+        exp.write_h5(d / "biash.h5", bias_high)
+        exp.write_h5(d / "valid.h5", res)
+
+    return Stage1Result(res, truth, bias_high, series_pred, series_truth, r)
+
+
+@dataclass
+class Stage2Result:
+    pred_cm: np.ndarray       # (T, H005, W005) cm, masked, bias-corrected
+    truth_025: np.ndarray     # (T, H25, W25) physical units, masked
+    series_pred_cm: np.ndarray
+    series_truth: np.ndarray
+    pearson_r: float
+
+
+def predict_005(
+    generator,
+    g_params,
+    g_batch_stats,
+    data,
+    mask_high: np.ndarray,
+    bias_high: Optional[np.ndarray] = None,
+    uncertainty: Optional[np.ndarray] = None,
+    stage1_series: Optional[np.ndarray] = None,
+    batch_size: int = 4,
+    hist_weight: float = 0.0,
+    blend_region: Optional[Tuple[int, int, int, int]] = None,
+    blend_sigma: int = 5,
+    export_dir: Optional[str] = None,
+) -> Stage2Result:
+    ([_lr05, _t05], [lr025, trend25], hr_aux, _s05, s025, _sa) = data
+    h25, w25 = lr025.shape[1:3]
+    if blend_region is None:
+        # reference region (0,90,0,44) in its (lon,lat) layout == rows
+        # 0:44, cols 0:90 here, scaled to the configured grid
+        blend_region = (0, h25 // 2, 0, w25 // 2)
+    h005, w005 = 5 * h25, 5 * w25
+
+    @jax.jit
+    def step(batch):
+        xin = jnp.concatenate([batch["lr025"], batch["aux"]], axis=-1)
+        pred = generator.apply(
+            {"params": g_params, "batch_stats": g_batch_stats},
+            xin, train=False)                         # (B, 4H, 4W, 1)
+        pred = resize2d(pred, (h005, w005), "bicubic")
+        pred = batched_histogram_match(pred, batch["lr025"], hist_weight)
+        hr_grace = resize2d(batch["lr025"], (4 * h25, 4 * w25), "bicubic")
+        return smooth_blend(pred, hr_grace, blend_region, blend_sigma)
+
+    ds = ArrayDataset(np.zeros_like(lr025)[:, : h25 // 2, : w25 // 2],
+                      lr025, hr_aux)
+    loader = Batcher(ds, batch_size)
+    n = len(ds)
+    outs, seen = [], 0
+    for batch in loader:
+        batch = jax.tree.map(jnp.asarray, batch)
+        pred = step(batch)
+        take = min(pred.shape[0], n - seen)
+        outs.append(np.asarray(pred)[:take, ..., 0])
+        seen += take
+    res = np.concatenate(outs)                        # (T, H005, W005)
+
+    trend_ups = _zoom(trend25, (1, 5, 5), order=3)
+    res = res + trend_ups
+    truth = lr025 + trend25
+
+    stats = as_scaler_stats(s025)
+    res = stats.inverse_transform(res)
+    truth = stats.inverse_transform(truth)
+
+    res_cm = res * 10.0
+    mask_hi = _zoom(mask_high.astype(np.float64), (5, 5), order=1)
+    res_cm = np.where(mask_hi[None] > 0, res_cm, np.nan)
+    truth = np.where(mask_high[None] > 0, truth, np.nan)
+
+    if export_dir is not None:
+        Path(export_dir).mkdir(parents=True, exist_ok=True)
+        exp.write_h5(Path(export_dir) / "raw_downscaled.h5", res_cm)
+
+    if bias_high is not None:
+        # the bias grid is NaN outside the plateau mask; order-3 spline
+        # zoom would propagate NaN across the whole array — zero-fill first
+        # (bias correction only matters inside the mask anyway)
+        bias_filled = np.nan_to_num(bias_high, nan=0.0)
+        res_cm = res_cm + _zoom(bias_filled, (1, 1.25, 1.25), order=3)
+
+    series_pred = np.nanmean(res_cm, axis=(1, 2))
+    series_truth = np.nanmean(truth, axis=(1, 2))
+    r = _pearson(series_pred, series_truth)
+
+    if export_dir is not None:
+        d = Path(export_dir)
+        exp.write_h5(d / "downscaled.h5", res_cm)
+        unc05 = None
+        if uncertainty is not None:
+            unc05 = _zoom(uncertainty, (1, 5, 5), order=0)
+            unc05 = np.where(mask_hi[None] > 0, unc05, np.nan)
+        exp.export_nc_005(
+            d / "downscaled_grace_tws_data_with_uncertainty_gan_danet.nc",
+            res_cm, uncertainty=unc05)
+        exp.export_nc_025(d / "grace_025.nc", truth * 10.0)
+        exp.write_timeseries_csv(
+            d / "timeseries_tp.csv", series_pred, series_truth,
+            series_025_pred=stage1_series,
+            unc_005=np.nanmean(unc05, axis=(1, 2)) if unc05 is not None else None,
+            unc_025=(np.nanmean(uncertainty, axis=(1, 2))
+                     if uncertainty is not None else None),
+        )
+
+    return Stage2Result(res_cm, truth, series_pred, series_truth, r)

@@ -1,0 +1,95 @@
+"""Metrics vs sklearn/scipy oracles, Taylor stats, plots smoke, basin
+point-in-polygon."""
+import numpy as np
+import pytest
+
+from gan_danet_tpu.evaluation.basins import points_in_polygon
+from gan_danet_tpu.evaluation.metrics import evaluate_metrics
+from gan_danet_tpu.evaluation.taylor import TaylorDiagram, taylor_stats
+
+
+def test_metrics_match_sklearn(rng):
+    from sklearn.metrics import mean_absolute_error, mean_squared_error, r2_score
+
+    t = rng.standard_normal(500)
+    p = t + 0.3 * rng.standard_normal(500)
+    m = evaluate_metrics(p, t)
+    assert m["mse"] == pytest.approx(mean_squared_error(t, p))
+    assert m["mae"] == pytest.approx(mean_absolute_error(t, p))
+    assert m["r2"] == pytest.approx(r2_score(t, p))
+    assert m["cc"] == pytest.approx(np.corrcoef(t, p)[0, 1])
+
+
+def test_metrics_nan_handling(rng):
+    t = rng.standard_normal(100)
+    p = t.copy()
+    p[::7] = np.nan
+    m = evaluate_metrics(p, t)
+    assert np.isfinite(m["mse"])
+    assert m["cc"] == pytest.approx(1.0)
+
+
+def test_taylor_stats(rng):
+    ref = rng.standard_normal(1000)
+    st = taylor_stats(ref, ref)
+    assert st["corr"] == pytest.approx(1.0)
+    assert st["crmse"] == pytest.approx(0.0, abs=1e-9)
+    # law of cosines identity: crmse^2 = s_p^2 + s_r^2 - 2 s_p s_r corr
+    p = 0.5 * ref + 0.5 * rng.standard_normal(1000)
+    st = taylor_stats(p, ref)
+    lhs = st["crmse"] ** 2
+    rhs = st["std"] ** 2 + st["ref_std"] ** 2 \
+        - 2 * st["std"] * st["ref_std"] * st["corr"]
+    assert lhs == pytest.approx(rhs, rel=1e-9)
+
+
+def test_taylor_diagram_renders(tmp_path, rng):
+    import matplotlib
+
+    matplotlib.use("Agg")
+    ref = rng.standard_normal(500)
+    td = TaylorDiagram(ref.std())
+    st = taylor_stats(0.8 * ref + 0.2 * rng.standard_normal(500), ref)
+    td.add_sample(st["std"], st["corr"], marker="o", label="model")
+    td.add_rms_contours()
+    td.fig.savefig(tmp_path / "taylor.png")
+    assert (tmp_path / "taylor.png").stat().st_size > 0
+
+
+def test_plots_smoke(tmp_path, rng):
+    from gan_danet_tpu.evaluation.plots import (
+        plot_losses,
+        plot_results,
+        plot_spatial_comparison,
+        plot_timeseries_with_uncertainty,
+        plot_uncertainty_map,
+    )
+
+    a = rng.standard_normal((8, 10))
+    cube = rng.standard_normal((3, 8, 10))
+    plot_results(a, a, a, save_path=str(tmp_path / "r.png"))
+    plot_timeseries_with_uncertainty(
+        rng.standard_normal(24), np.abs(rng.standard_normal(24)),
+        save_path=str(tmp_path / "t.png"))
+    plot_spatial_comparison(cube, cube, save_path=str(tmp_path / "s.pdf"))
+    plot_uncertainty_map(cube, save_path=str(tmp_path / "u.png"))
+    plot_losses([3, 2, 1], [1, 1, 1], save_path=str(tmp_path / "l.png"))
+    for f in ("r.png", "t.png", "s.pdf", "u.png", "l.png"):
+        assert (tmp_path / f).stat().st_size > 0
+
+
+def test_point_in_polygon_square():
+    square = [np.array([[0, 0], [4, 0], [4, 4], [0, 4]], dtype=float)]
+    lon = np.array([2.0, 5.0, -1.0, 3.9])
+    lat = np.array([2.0, 2.0, 2.0, 3.9])
+    got = points_in_polygon(lon, lat, square)
+    np.testing.assert_array_equal(got, [True, False, False, True])
+
+
+def test_point_in_polygon_with_hole():
+    outer = np.array([[0, 0], [10, 0], [10, 10], [0, 10]], dtype=float)
+    hole = np.array([[4, 4], [6, 4], [6, 6], [4, 6]], dtype=float)
+    lon = np.array([5.0, 2.0])
+    lat = np.array([5.0, 2.0])
+    got = points_in_polygon(lon, lat, [outer, hole])
+    np.testing.assert_array_equal(got, [False, True])  # hole excluded

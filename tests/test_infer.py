@@ -1,0 +1,109 @@
+"""Inference pipelines: smooth_blend semantics, stage-1/stage-2 end-to-end
+on the tiny synthetic dataset, export products."""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from gan_danet_tpu.core.config import (
+    DiscriminatorConfig,
+    ExperimentConfig,
+    GeneratorConfig,
+    LossConfig,
+    TrainConfig,
+)
+from gan_danet_tpu.data.pipeline import load_data_with_augmentation
+from gan_danet_tpu.data.synthetic import make_synthetic_raw, tiny_config
+from gan_danet_tpu.infer.blend import smooth_blend
+from gan_danet_tpu.infer.downscale import predict_005, predict_025
+from gan_danet_tpu.train.trainer import ModelTrainer
+
+
+@pytest.fixture(scope="module")
+def trained():
+    dc = tiny_config(24)
+    raw = make_synthetic_raw(dc, seed=0)
+    data = load_data_with_augmentation(dc, raw=raw)
+    cfg = ExperimentConfig(
+        data=dc,
+        generator=GeneratorConfig(input_channels=46, num_blocks=2,
+                                  num_layers_per_block=2, growth_rate=8,
+                                  use_pallas_attention=False),
+        discriminator=DiscriminatorConfig(input_hw=dc.grid_025),
+        loss=LossConfig(use_perceptual=False),
+        train=TrainConfig(epochs=2, batch_size=4, dtype="float32"),
+    )
+    trainer = ModelTrainer(cfg, data=data)
+    trainer.train()
+    return trainer, data, raw
+
+
+def test_smooth_blend_region_semantics(rng):
+    gen = jnp.zeros((2, 20, 30, 1))
+    ref = jnp.ones((2, 16, 24, 1))
+    out = smooth_blend(gen, ref, region=(0, 10, 0, 12), sigma=3)
+    out = np.asarray(out)
+    # outside the region: untouched
+    assert np.all(out[:, 12:, :, :] == 0)
+    assert np.all(out[:, :, 14:, :] == 0)
+    # inside: pulled toward the reference (mask=1 -> reference)
+    assert out[:, 2:8, 2:10, :].mean() > 0.1
+    assert out.max() <= 1.0 + 1e-5
+
+
+def test_predict_025_end_to_end(trained, tmp_path):
+    trainer, data, raw = trained
+    res = predict_025(
+        trainer.generator, trainer.state.g_params,
+        trainer.state.g_batch_stats, data,
+        mask_high=raw.mask_high, batch_size=4,
+        export_dir=tmp_path,
+    )
+    t = data[0][0].shape[0]
+    assert res.pred.shape == (t, 16, 20)
+    assert np.isnan(res.pred[0][raw.mask_high == 0]).all()
+    assert np.isfinite(res.series_pred).all()
+    assert -1 <= res.pearson_r <= 1
+    assert (tmp_path / "grace025.h5").exists()
+    assert (tmp_path / "biash.h5").exists()
+    assert res.bias_high.shape == (t, 64, 80)
+
+
+def test_predict_005_end_to_end(trained, tmp_path):
+    trainer, data, raw = trained
+    s1 = predict_025(
+        trainer.generator, trainer.state.g_params,
+        trainer.state.g_batch_stats, data,
+        mask_high=raw.mask_high, batch_size=4,
+    )
+    unc = np.abs(np.random.default_rng(0).standard_normal(
+        data[1][0].shape)).astype(np.float32)
+    s2 = predict_005(
+        trainer.generator, trainer.state.g_params,
+        trainer.state.g_batch_stats, data,
+        mask_high=raw.mask_high, bias_high=s1.bias_high,
+        uncertainty=unc, stage1_series=s1.series_pred,
+        batch_size=2, export_dir=tmp_path,
+    )
+    t = data[0][0].shape[0]
+    assert s2.pred_cm.shape == (t, 80, 100)   # 5x the 0.25deg grid
+    assert np.isfinite(s2.series_pred_cm).all()
+    for f in ("raw_downscaled.h5", "downscaled.h5",
+              "downscaled_grace_tws_data_with_uncertainty_gan_danet.nc",
+              "grace_025.nc", "timeseries_tp.csv"):
+        assert (tmp_path / f).exists(), f
+
+
+def test_exported_nc_is_readable(trained, tmp_path):
+    from gan_danet_tpu.data.ncio import read_nc
+    from gan_danet_tpu.infer.export import export_nc_005
+
+    data_cm = np.random.default_rng(0).standard_normal((5, 8, 10)).astype(np.float32)
+    export_nc_005(tmp_path / "x.nc", data_cm)
+    variables, attrs = read_nc(tmp_path / "x.nc")
+    assert variables["data"].shape == (5, 10, 8)  # (time, lon, lat) quirk
+    np.testing.assert_allclose(
+        np.transpose(variables["data"], (0, 2, 1)), data_cm, rtol=1e-6)
+    assert attrs["model"] == "GAN-DANet"
+    assert variables["lat"][0] == pytest.approx(24.025)
