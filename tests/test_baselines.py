@@ -1,0 +1,101 @@
+"""Baseline model zoo: HAT, Autoencoder/AETrainer, ScaleInvariantNetwork."""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from gan_danet_tpu.models.ae import AETrainer, Autoencoder
+from gan_danet_tpu.models.hat import (
+    HAT,
+    _relative_position_index,
+    pixel_shuffle,
+    window_merge,
+    window_partition,
+)
+from gan_danet_tpu.models.scale_invariant import ScaleInvariantNetwork
+
+
+def test_window_partition_roundtrip(rng):
+    x = jnp.asarray(rng.standard_normal((2, 16, 24, 5)).astype(np.float32))
+    wins = window_partition(x, 8)
+    assert wins.shape == (2 * 2 * 3, 64, 5)
+    back = window_merge(wins, (16, 24), 8)
+    np.testing.assert_array_equal(np.asarray(back), np.asarray(x))
+
+
+def test_relative_position_index_matches_torch():
+    import torch
+
+    w = 8
+    coords = torch.stack(torch.meshgrid(torch.arange(w), torch.arange(w),
+                                        indexing="ij"))
+    flat = coords.reshape(2, -1)
+    rel = (flat[:, :, None] - flat[:, None, :]).permute(1, 2, 0).contiguous()
+    rel[:, :, 0] += w - 1
+    rel[:, :, 1] += w - 1
+    rel[:, :, 0] *= 2 * w - 1
+    want = rel.sum(-1).numpy()
+    np.testing.assert_array_equal(_relative_position_index(w), want)
+
+
+def test_pixel_shuffle_matches_torch(rng):
+    import torch
+
+    x = rng.standard_normal((2, 3, 4, 12)).astype(np.float32)  # NHWC, C=3*4
+    got = np.asarray(pixel_shuffle(jnp.asarray(x), 2))
+    want = (
+        torch.pixel_shuffle(torch.from_numpy(x).permute(0, 3, 1, 2), 2)
+        .permute(0, 2, 3, 1)
+        .numpy()
+    )
+    np.testing.assert_allclose(got, want)
+
+
+def test_hat_shape():
+    """Reference smoke config: (2, 168, 64, 46) -> (2, 672, 256, 1) —
+    scaled down here (1 group, 2 habs) for CI time; window padding path
+    exercised via the non-multiple 22x45 grid."""
+    model = HAT(in_channels=46, channels=32, num_groups=1, num_habs=2,
+                window_size=8, num_heads=4)
+    x = jnp.zeros((1, 22, 45, 46))
+    v = model.init(jax.random.PRNGKey(0), x)
+    y = model.apply(v, x)
+    assert y.shape == (1, 88, 180, 1)
+
+
+def test_autoencoder_shape():
+    m = Autoencoder(45, 1)
+    x = jnp.zeros((2, 16, 20, 45))
+    v = m.init(jax.random.PRNGKey(0), x)
+    y = m.apply(v, x)
+    assert y.shape == (2, 16, 20, 1)
+    assert float(jnp.max(jnp.abs(y))) <= 1.0  # tanh head
+
+
+def test_ae_trainer_learns(rng):
+    from gan_danet_tpu.data.scalers import StandardScaler
+
+    t, h, w = 20, 8, 10
+    target = rng.standard_normal((t, h, w)).astype(np.float32)
+    aux = np.concatenate(
+        [np.repeat(target[..., None], 3, axis=-1)
+         + 0.1 * rng.standard_normal((t, h, w, 3)).astype(np.float32),
+         rng.standard_normal((t, h, w, 2)).astype(np.float32)], axis=-1)
+    scaler = StandardScaler().fit(target)
+    trainer = AETrainer(aux, scaler.transform(target).astype(np.float32),
+                        scaler, epochs=30, batch_size=5)
+    losses = trainer.train()
+    assert losses[-1] < losses[0]
+    metrics = trainer.evaluate()
+    assert metrics["cc"] > 0.3
+
+
+def test_scale_invariant_runs_at_two_resolutions():
+    m = ScaleInvariantNetwork()
+    x64 = jnp.zeros((1, 64, 64, 1))
+    v = m.init(jax.random.PRNGKey(0), x64, train=False)
+    y64 = m.apply(v, x64, train=False)
+    y128 = m.apply(v, jnp.zeros((1, 128, 128, 1)), train=False)
+    assert y64.shape == (1, 64, 64, 1)
+    assert y128.shape == (1, 128, 128, 1)  # same weights, both scales
