@@ -1,0 +1,200 @@
+"""Latent-diffusion training + sampling pipeline (behavioural parity:
+reference 4.train.ipynb / 5.test.ipynb), generalised to GRACE rasters.
+
+Training (4.train): frozen VAE + condition encoder; UNet predicts the
+noise added to the 0.18215-scaled latents at a random timestep; MSE loss;
+AdamW(1e-5, 0.9/0.999, wd 0.01, eps 1e-8); gradient accumulation (x4 in
+the reference).
+
+Sampling (5.test `generate`): start from N(0,1) latents, 50 DDPM steps
+with classifier-free guidance 7.5 (conditional/unconditional pair), VAE
+decode at /0.18215.
+
+Conditioning: either text tokens through the CLIP-style encoder (tutorial
+parity) or — the GRACE adapter — a conv patch-encoder over the
+[lr GRACE | aux] stack producing context tokens, which turns the stack
+into the conditional downscaling-diffusion model the missing
+`Diffusion+Model.ipynb` was meant to be.
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import linen as nn
+
+from gan_danet_tpu.models.diffusion.ddpm import DDPMScheduler
+from gan_danet_tpu.models.diffusion.text_encoder import TextEncoder
+from gan_danet_tpu.models.diffusion.unet import UNet
+from gan_danet_tpu.models.diffusion.vae import VAE
+
+
+class RasterConditionEncoder(nn.Module):
+    """Conv patch encoder: (B, H, W, C_cond) -> (B, N_tokens, context_dim)
+    context tokens for cross-attention (the GRACE analogue of the text
+    encoder)."""
+
+    context_dim: int = 256
+    patch: int = 4
+
+    @nn.compact
+    def __call__(self, cond: jnp.ndarray) -> jnp.ndarray:
+        x = nn.Conv(self.context_dim // 2, (3, 3), padding=((1, 1), (1, 1)),
+                    name="conv1")(cond)
+        x = nn.silu(x)
+        x = nn.Conv(self.context_dim, (self.patch, self.patch),
+                    strides=(self.patch, self.patch), name="patch")(x)
+        b, h, w, c = x.shape
+        return x.reshape(b, h * w, c)
+
+
+@dataclass
+class DiffusionConfig:
+    latent_channels: int = 4
+    vae_channels: Tuple[int, ...] = (32, 64)
+    unet_channels: Tuple[int, ...] = (32, 64)
+    context_dim: int = 128
+    heads: int = 4
+    image_channels: int = 1
+    cond_channels: Optional[int] = None     # None => text conditioning
+    vocab_size: int = 49408
+    num_train_timesteps: int = 1000
+    guidance_scale: float = 7.5
+    num_inference_steps: int = 50
+    lr: float = 1e-5
+    weight_decay: float = 0.01
+    grad_accum: int = 4
+
+
+class LatentDiffusion:
+    """Bundles VAE + condition encoder + UNet + scheduler with jitted
+    train/sample paths."""
+
+    def __init__(self, config: DiffusionConfig = DiffusionConfig(),
+                 seed: int = 0,
+                 sample_image_hw: Tuple[int, int] = (32, 32),
+                 sample_cond_shape: Optional[Tuple[int, ...]] = None):
+        self.config = config
+        c = config
+        self.scheduler = DDPMScheduler(c.num_train_timesteps)
+        self.vae = VAE(c.vae_channels, c.latent_channels, c.image_channels)
+        self.unet = UNet(c.latent_channels, c.latent_channels,
+                         c.unet_channels, c.context_dim, c.heads)
+        if c.cond_channels is None:
+            self.cond_encoder = TextEncoder(c.vocab_size, 77, c.context_dim,
+                                            c.heads, layers=2)
+            cond_sample = jnp.zeros((1, 77), jnp.int32)
+        else:
+            self.cond_encoder = RasterConditionEncoder(c.context_dim)
+            shape = sample_cond_shape or (1, *sample_image_hw, c.cond_channels)
+            cond_sample = jnp.zeros(shape, jnp.float32)
+
+        k1, k2, k3, k4 = jax.random.split(jax.random.PRNGKey(seed), 4)
+        img = jnp.zeros((1, *sample_image_hw, c.image_channels))
+        self.vae_params = self.vae.init(
+            {"params": k1}, img, k1)["params"]
+        self.cond_params = self.cond_encoder.init(k2, cond_sample)["params"]
+
+        f = 2 ** (len(c.vae_channels) - 1)
+        lat = jnp.zeros((1, sample_image_hw[0] // f, sample_image_hw[1] // f,
+                         c.latent_channels))
+        ctx = self.cond_encoder.apply({"params": self.cond_params}, cond_sample)
+        self.unet_params = self.unet.init(k3, lat, ctx,
+                                          jnp.zeros((1,), jnp.int32))["params"]
+        self._latent_factor = f
+
+        tx = optax.adamw(c.lr, b1=0.9, b2=0.999, eps=1e-8,
+                         weight_decay=c.weight_decay)
+        if c.grad_accum > 1:
+            tx = optax.MultiSteps(tx, every_k_schedule=c.grad_accum)
+        self.tx = tx
+        self.opt_state = tx.init(self.unet_params)
+        self._key = k4
+
+        @jax.jit
+        def train_step(unet_params, opt_state, image, cond, key):
+            knoise, kt, kvae = jax.random.split(key, 3)
+            context = self.cond_encoder.apply({"params": self.cond_params},
+                                              cond)
+            mean, logvar = self.vae.apply({"params": self.vae_params}, image,
+                                          method=VAE.encode)
+            z = self.vae.apply({"params": self.vae_params}, mean, logvar,
+                               kvae, method=VAE.sample)
+            z = z * self.vae.scaling_factor
+            noise = jax.random.normal(knoise, z.shape, z.dtype)
+            t = jax.random.randint(kt, (z.shape[0],), 0,
+                                   c.num_train_timesteps)
+            z_noisy = self.scheduler.add_noise(z, noise, t)
+
+            def loss_fn(p):
+                pred = self.unet.apply({"params": p}, z_noisy, context, t)
+                return jnp.mean((pred - noise) ** 2)
+
+            loss, grads = jax.value_and_grad(loss_fn)(unet_params)
+            updates, opt_state = self.tx.update(grads, opt_state, unet_params)
+            return optax.apply_updates(unet_params, updates), opt_state, loss
+
+        self._train_step = train_step
+
+        @jax.jit
+        def denoise_pair(unet_params, z, context, context_uncond, t):
+            both_z = jnp.concatenate([z, z])
+            both_ctx = jnp.concatenate([context_uncond, context])
+            both_t = jnp.concatenate([t, t])
+            out = self.unet.apply({"params": unet_params}, both_z, both_ctx,
+                                  both_t)
+            uncond, cond = jnp.split(out, 2)
+            return uncond + c.guidance_scale * (cond - uncond)
+
+        self._denoise_pair = denoise_pair
+        self._decode = jax.jit(
+            lambda z: self.vae.apply({"params": self.vae_params},
+                                     z / self.vae.scaling_factor,
+                                     method=VAE.decode))
+
+    # ------------------------------------------------------------------
+    def train_batch(self, image: jnp.ndarray, cond: jnp.ndarray) -> float:
+        self._key, k = jax.random.split(self._key)
+        self.unet_params, self.opt_state, loss = self._train_step(
+            self.unet_params, self.opt_state, image, cond, k)
+        return float(loss)
+
+    # ------------------------------------------------------------------
+    def generate(
+        self,
+        cond: jnp.ndarray,
+        uncond: Optional[jnp.ndarray] = None,
+        image_hw: Optional[Tuple[int, int]] = None,
+        num_inference_steps: Optional[int] = None,
+        key: Optional[jax.Array] = None,
+    ) -> jnp.ndarray:
+        """CFG sampling (reference 5.test `generate`): 50 sequential UNet
+        denoise steps, conditional/unconditional pair, VAE decode."""
+        c = self.config
+        key = key if key is not None else jax.random.PRNGKey(0)
+        b = cond.shape[0]
+        f = self._latent_factor
+        if image_hw is None:
+            hw = (32, 32)
+        else:
+            hw = image_hw
+        z = jax.random.normal(key, (b, hw[0] // f, hw[1] // f,
+                                    c.latent_channels))
+        context = self.cond_encoder.apply({"params": self.cond_params}, cond)
+        if uncond is None:
+            uncond = jnp.zeros_like(cond)
+        context_u = self.cond_encoder.apply({"params": self.cond_params},
+                                            uncond)
+
+        steps = num_inference_steps or c.num_inference_steps
+        timesteps = self.scheduler.set_timesteps(steps)
+        for t in timesteps:
+            key, kstep = jax.random.split(key)
+            t_arr = jnp.full((b,), int(t), jnp.int32)
+            eps = self._denoise_pair(self.unet_params, z, context, context_u,
+                                     t_arr)
+            z = self.scheduler.step(eps, int(t), z, key=kstep)
+        return self._decode(z)

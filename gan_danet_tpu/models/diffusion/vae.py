@@ -1,0 +1,128 @@
+"""Convolutional VAE (behavioural parity: reference 2.vae.ipynb — SD-style
+factor-8 encoder/decoder with resnet blocks, a mid self-attention block,
+4-channel diagonal-gaussian latents, 0.18215 scaling convention). Sizes
+configurable; tiny defaults suit GRACE rasters and CI."""
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+
+class ResnetBlock(nn.Module):
+    out_channels: int
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        h = nn.GroupNorm(num_groups=min(32, x.shape[-1]), name="norm1")(x)
+        h = nn.silu(h)
+        h = nn.Conv(self.out_channels, (3, 3), padding=((1, 1), (1, 1)),
+                    name="conv1")(h)
+        h = nn.GroupNorm(num_groups=min(32, self.out_channels), name="norm2")(h)
+        h = nn.silu(h)
+        h = nn.Conv(self.out_channels, (3, 3), padding=((1, 1), (1, 1)),
+                    name="conv2")(h)
+        if x.shape[-1] != self.out_channels:
+            x = nn.Conv(self.out_channels, (1, 1), name="shortcut")(x)
+        return x + h
+
+
+class SelfAttentionBlock(nn.Module):
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:  # (B,H,W,C)
+        b, h, w, c = x.shape
+        y = nn.GroupNorm(num_groups=min(32, c), name="norm")(x)
+        t = y.reshape(b, h * w, c)
+        q = nn.Dense(c, name="q")(t)
+        k = nn.Dense(c, name="k")(t)
+        v = nn.Dense(c, name="v")(t)
+        attn = jax.nn.softmax(
+            jnp.einsum("bnc,bmc->bnm", q, k,
+                       preferred_element_type=jnp.float32) * (c**-0.5),
+            axis=-1)
+        out = jnp.einsum("bnm,bmc->bnc", attn, v)
+        out = nn.Dense(c, name="proj")(out).reshape(b, h, w, c)
+        return x + out
+
+
+class Encoder(nn.Module):
+    channels: Tuple[int, ...] = (64, 128, 256)
+    latent_channels: int = 4
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        x = nn.Conv(self.channels[0], (3, 3), padding=((1, 1), (1, 1)),
+                    name="conv_in")(x)
+        for i, ch in enumerate(self.channels):
+            x = ResnetBlock(ch, name=f"down{i}_res0")(x)
+            x = ResnetBlock(ch, name=f"down{i}_res1")(x)
+            if i != len(self.channels) - 1:
+                x = nn.Conv(ch, (3, 3), strides=(2, 2),
+                            padding=((1, 1), (1, 1)), name=f"down{i}_conv")(x)
+        x = ResnetBlock(self.channels[-1], name="mid_res0")(x)
+        x = SelfAttentionBlock(name="mid_attn")(x)
+        x = ResnetBlock(self.channels[-1], name="mid_res1")(x)
+        x = nn.GroupNorm(num_groups=min(32, self.channels[-1]),
+                         name="norm_out")(x)
+        x = nn.silu(x)
+        # mean + logvar
+        return nn.Conv(2 * self.latent_channels, (3, 3),
+                       padding=((1, 1), (1, 1)), name="conv_out")(x)
+
+
+class Decoder(nn.Module):
+    channels: Tuple[int, ...] = (256, 128, 64)
+    out_channels: int = 1
+
+    @nn.compact
+    def __call__(self, z: jnp.ndarray) -> jnp.ndarray:
+        x = nn.Conv(self.channels[0], (3, 3), padding=((1, 1), (1, 1)),
+                    name="conv_in")(z)
+        x = ResnetBlock(self.channels[0], name="mid_res0")(x)
+        x = SelfAttentionBlock(name="mid_attn")(x)
+        x = ResnetBlock(self.channels[0], name="mid_res1")(x)
+        for i, ch in enumerate(self.channels):
+            x = ResnetBlock(ch, name=f"up{i}_res0")(x)
+            x = ResnetBlock(ch, name=f"up{i}_res1")(x)
+            if i != len(self.channels) - 1:
+                b, h, w, c = x.shape
+                x = jax.image.resize(x, (b, 2 * h, 2 * w, c), "nearest")
+                x = nn.Conv(ch, (3, 3), padding=((1, 1), (1, 1)),
+                            name=f"up{i}_conv")(x)
+        x = nn.GroupNorm(num_groups=min(32, self.channels[-1]),
+                         name="norm_out")(x)
+        x = nn.silu(x)
+        return nn.Conv(self.out_channels, (3, 3), padding=((1, 1), (1, 1)),
+                       name="conv_out")(x)
+
+
+class VAE(nn.Module):
+    channels: Tuple[int, ...] = (64, 128, 256)
+    latent_channels: int = 4
+    out_channels: int = 1
+    scaling_factor: float = 0.18215
+
+    def setup(self):
+        self.encoder = Encoder(self.channels, self.latent_channels)
+        self.decoder = Decoder(tuple(reversed(self.channels)),
+                               self.out_channels)
+
+    def encode(self, x: jnp.ndarray):
+        """-> (mean, logvar), each (B, H/f, W/f, latent_channels)."""
+        moments = self.encoder(x)
+        mean, logvar = jnp.split(moments, 2, axis=-1)
+        return mean, jnp.clip(logvar, -30.0, 20.0)
+
+    def sample(self, mean: jnp.ndarray, logvar: jnp.ndarray, key) -> jnp.ndarray:
+        return mean + jnp.exp(0.5 * logvar) * jax.random.normal(
+            key, mean.shape, mean.dtype)
+
+    def decode(self, z: jnp.ndarray) -> jnp.ndarray:
+        return self.decoder(z)
+
+    def __call__(self, x: jnp.ndarray, key) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+        mean, logvar = self.encode(x)
+        z = self.sample(mean, logvar, key)
+        return self.decode(z), mean, logvar
