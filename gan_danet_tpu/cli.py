@@ -1,0 +1,195 @@
+"""Command-line entry points.
+
+The reference's entry points are notebooks (readme.txt:70-100); this CLI
+covers the same workflows headlessly:
+
+  python -m gan_danet_tpu data      # build/refresh the preprocessing cache
+  python -m gan_danet_tpu train     # GAN-DANet adversarial training
+  python -m gan_danet_tpu ensemble  # deep-ensemble + uncertainty artifacts
+  python -m gan_danet_tpu infer     # two-stage 0.25deg + 0.05deg inference
+  python -m gan_danet_tpu ae        # autoencoder baseline
+  python -m gan_danet_tpu bench     # train-step throughput benchmark
+
+Every command accepts --config (ExperimentConfig JSON) and --synthetic
+(use the built-in synthetic dataset — no data files required).
+"""
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+import sys
+from pathlib import Path
+
+
+def _load_config(args) -> "ExperimentConfig":
+    from gan_danet_tpu.core.config import DataConfig, ExperimentConfig
+
+    if args.config:
+        cfg = ExperimentConfig.from_json(Path(args.config).read_text())
+    else:
+        cfg = ExperimentConfig(data=DataConfig.from_env())
+    if args.synthetic:
+        cfg = dataclasses.replace(
+            cfg, data=dataclasses.replace(cfg.data, synthetic=True))
+    if args.epochs is not None:
+        cfg = dataclasses.replace(
+            cfg, train=dataclasses.replace(cfg.train, epochs=args.epochs))
+    if args.batch_size is not None:
+        cfg = dataclasses.replace(
+            cfg, train=dataclasses.replace(cfg.train,
+                                           batch_size=args.batch_size))
+    return cfg
+
+
+def _logger(args):
+    from gan_danet_tpu.core.logger import MetricsLogger
+
+    return MetricsLogger(path=args.log, echo=True)
+
+
+def cmd_data(args) -> int:
+    from gan_danet_tpu.data.pipeline import load_or_build_cache
+
+    cfg = _load_config(args)
+    data = load_or_build_cache(cfg.data, augmented=not args.no_augment)
+    print(json.dumps({
+        "cache_dir": str(cfg.data.cache_path),
+        "samples": int(data[0][0].shape[0]),
+        "aux_channels": int(data[2].shape[-1]),
+    }))
+    return 0
+
+
+def cmd_train(args) -> int:
+    from gan_danet_tpu.train.trainer import ModelTrainer
+
+    cfg = _load_config(args)
+    trainer = ModelTrainer(cfg, logger=_logger(args))
+    losses_g, losses_d = trainer.train()
+    metrics = trainer.evaluate()
+    path = trainer.save_checkpoint()
+    print(json.dumps({"checkpoint": path, "epochs_run": len(losses_g),
+                      **metrics}))
+    return 0
+
+
+def cmd_ensemble(args) -> int:
+    import numpy as np
+
+    from gan_danet_tpu.train.ensemble import EnsembleTrainer
+
+    cfg = _load_config(args)
+    ens = EnsembleTrainer(cfg, num_ensemble=args.members, logger=_logger(args))
+    ens.train_ensemble()
+    preds = ens.predict_ensemble()
+    mask = _load_mask(cfg, args)
+    results = ens.compute_uncertainty(preds, mask=mask)
+    out = Path(args.out or "ensemble_out")
+    ens.save_artifacts(out, results)
+    print(json.dumps({"out_dir": str(out), "members": args.members,
+                      "uncertainty_mean": float(np.nanmean(results["uncertainty"]))}))
+    return 0
+
+
+def _load_mask(cfg, args):
+    import numpy as np
+
+    if args.synthetic or cfg.data.synthetic:
+        from gan_danet_tpu.data.synthetic import make_synthetic_raw
+
+        return make_synthetic_raw(cfg.data, cfg.data.synthetic_seed).mask_high
+    p = Path(cfg.data.project_dir) / cfg.data.mask_high
+    if p.exists():
+        m = np.load(p).astype(np.float32)
+        return m.T if m.shape == tuple(cfg.data.grid_025[::-1]) else m
+    return np.ones(cfg.data.grid_025, np.float32)
+
+
+def cmd_infer(args) -> int:
+    import jax.numpy as jnp
+
+    from gan_danet_tpu.data.pipeline import load_or_build_cache
+    from gan_danet_tpu.infer.downscale import predict_005, predict_025
+    from gan_danet_tpu.train.trainer import ModelTrainer
+
+    cfg = _load_config(args)
+    data = load_or_build_cache(cfg.data, augmented=False)
+    trainer = ModelTrainer(cfg, data=data, logger=_logger(args))
+    if args.checkpoint:
+        trainer.restore_checkpoint(args.checkpoint)
+    else:
+        trainer.restore_checkpoint()
+
+    mask = _load_mask(cfg, args)
+    out = args.out or "inference_out"
+    s1 = predict_025(trainer.generator, trainer.state.g_params,
+                     trainer.state.g_batch_stats, data, mask,
+                     export_dir=out)
+    s2 = predict_005(trainer.generator, trainer.state.g_params,
+                     trainer.state.g_batch_stats, data, mask,
+                     bias_high=s1.bias_high, stage1_series=s1.series_pred,
+                     export_dir=out)
+    print(json.dumps({"out_dir": out, "pearson_025": s1.pearson_r,
+                      "pearson_005": s2.pearson_r}))
+    return 0
+
+
+def cmd_ae(args) -> int:
+    from gan_danet_tpu.data.pipeline import load_or_build_cache
+    from gan_danet_tpu.models.ae import AETrainer
+
+    cfg = _load_config(args)
+    ([_, _], [lr025, _], hr_aux, _, s025, _) = load_or_build_cache(
+        cfg.data, augmented=False)
+    mask = _load_mask(cfg, args)
+    trainer = AETrainer(hr_aux, lr025, s025, mask=mask,
+                        epochs=args.epochs or 10,
+                        batch_size=args.batch_size or 8)
+    trainer.train()
+    metrics = trainer.evaluate(export_path=args.out or "ae_results.h5")
+    print(json.dumps(metrics))
+    return 0
+
+
+def cmd_bench(args) -> int:
+    del args
+    import bench
+
+    bench.main()
+    return 0
+
+
+def main(argv=None) -> int:
+    parser = argparse.ArgumentParser(prog="gan_danet_tpu",
+                                     description=__doc__)
+    sub = parser.add_subparsers(dest="command", required=True)
+
+    def common(p):
+        p.add_argument("--config", help="ExperimentConfig JSON file")
+        p.add_argument("--synthetic", action="store_true",
+                       help="use the built-in synthetic dataset")
+        p.add_argument("--epochs", type=int)
+        p.add_argument("--batch-size", type=int, dest="batch_size")
+        p.add_argument("--log", help="metrics JSONL path")
+        p.add_argument("--out", help="output directory/file")
+
+    for name, fn in [("data", cmd_data), ("train", cmd_train),
+                     ("ensemble", cmd_ensemble), ("infer", cmd_infer),
+                     ("ae", cmd_ae), ("bench", cmd_bench)]:
+        p = sub.add_parser(name)
+        common(p)
+        p.set_defaults(fn=fn)
+        if name == "data":
+            p.add_argument("--no-augment", action="store_true")
+        if name == "ensemble":
+            p.add_argument("--members", type=int, default=5)
+        if name == "infer":
+            p.add_argument("--checkpoint")
+
+    args = parser.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

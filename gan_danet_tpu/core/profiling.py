@@ -1,0 +1,56 @@
+"""Tracing / profiling / numerics-debug utilities (SURVEY.md §5: the
+reference's only 'tracing' is a torchviz autograd dump; here we expose the
+real TPU toolchain)."""
+from __future__ import annotations
+
+import contextlib
+from typing import Any, Dict, Optional
+
+import jax
+
+
+@contextlib.contextmanager
+def trace(log_dir: str):
+    """Capture a jax.profiler trace viewable in TensorBoard/Perfetto:
+
+        with trace("/tmp/jax-trace"):
+            train_step(...)
+    """
+    jax.profiler.start_trace(log_dir)
+    try:
+        yield
+    finally:
+        jax.profiler.stop_trace()
+
+
+def cost_analysis(fn, *args, **kwargs) -> Optional[Dict[str, Any]]:
+    """XLA cost analysis (FLOPs, bytes accessed) for a jittable callable —
+    the compile-time answer to 'how expensive is this step'."""
+    lowered = jax.jit(fn).lower(*args, **kwargs)
+    compiled = lowered.compile()
+    costs = compiled.cost_analysis()
+    if isinstance(costs, list):  # older jax returns a per-device list
+        costs = costs[0] if costs else None
+    return costs
+
+
+@contextlib.contextmanager
+def debug_nans(enable: bool = True):
+    """Scoped jax debug_nans toggle (the rebuild's race/NaN detector)."""
+    prev = jax.config.jax_debug_nans
+    jax.config.update("jax_debug_nans", enable)
+    try:
+        yield
+    finally:
+        jax.config.update("jax_debug_nans", prev)
+
+
+def device_memory_stats() -> Dict[str, Any]:
+    """Per-device memory stats where the backend exposes them."""
+    out = {}
+    for d in jax.devices():
+        try:
+            out[str(d)] = d.memory_stats()
+        except Exception:
+            out[str(d)] = None
+    return out

@@ -78,7 +78,7 @@ def init_vgg_params(
     fetched (models/losses.py:42-48)."""
     module = VGGFeatures(tuple(feature_layers))
     dummy = jnp.zeros((1, *input_hw, 3), jnp.float32)
-    params = module.init(jax.random.PRNGKey(seed), dummy)["params"]
+    params = jax.jit(module.init)(jax.random.PRNGKey(seed), dummy)["params"]
     if weights_path is not None:
         params = load_torch_vgg_features(weights_path, params)
     else:

@@ -139,13 +139,17 @@ def init_gan_state(
 ) -> GANTrainState:
     x = build_inputs(jax.tree.map(jnp.asarray, sample_batch), coarse_hw)
     kg, kd = jax.random.split(jax.random.PRNGKey(seed))
-    g_vars = generator.init(kg, x, train=True)
-    fake_shape = generator.apply(
-        {"params": g_vars["params"],
-         "batch_stats": g_vars.get("batch_stats", {})},
-        x, train=False,
+    # jit the inits: unjitted flax init dispatches thousands of tiny ops
+    # (minutes over a remote-tunnel TPU); one compiled program is seconds
+    g_vars = jax.jit(lambda k, x: generator.init(k, x, train=True))(kg, x)
+    fake_shape = jax.eval_shape(
+        lambda v, x: generator.apply(
+            {"params": v["params"],
+             "batch_stats": v.get("batch_stats", {})}, x, train=False),
+        g_vars, x,
     )
-    d_vars = discriminator.init(kd, fake_shape)
+    d_vars = jax.jit(discriminator.init)(kd, jnp.zeros(fake_shape.shape,
+                                                       fake_shape.dtype))
     return GANTrainState(
         step=jnp.zeros((), jnp.int32),
         g_params=g_vars["params"],

@@ -192,6 +192,30 @@ class ModelTrainer:
         return {"mse": mse, "mae": mae, "r2": r2, "cc": cc}
 
     # ------------------------------------------------------------------
+    def save_checkpoint(self, directory: Optional[str] = None) -> str:
+        """Full-state orbax checkpoint (params, BN stats, BOTH optimizer
+        states, step) — real resume capability, unlike the reference's
+        weights-only torch.save (SURVEY.md §5)."""
+        from gan_danet_tpu.core.checkpoint import save_train_state
+
+        return save_train_state(directory or self.config.train.checkpoint_dir,
+                                self.state)
+
+    def restore_checkpoint(self, path: Optional[str] = None) -> None:
+        from gan_danet_tpu.core.checkpoint import (
+            latest_checkpoint,
+            restore_train_state,
+        )
+
+        if path is None:
+            path = latest_checkpoint(self.config.train.checkpoint_dir)
+            if path is None:
+                raise FileNotFoundError(
+                    f"no checkpoints in {self.config.train.checkpoint_dir}")
+        self.state = jax.tree.map(
+            jnp.asarray, restore_train_state(path, self.state))
+
+    # ------------------------------------------------------------------
     def predict(self, loader: Optional[Batcher] = None) -> np.ndarray:
         """Forward the (coarsened-input) pipeline over a loader; returns
         stacked standardized-detrended predictions."""
