@@ -61,11 +61,20 @@ def cmd_data(args) -> int:
     return 0
 
 
+def _make_generator(args, cfg):
+    if getattr(args, "model", "danet") == "hat":
+        from gan_danet_tpu.models.hat import HAT
+
+        return HAT(in_channels=cfg.data.n_aux + 1)
+    return None  # ModelTrainer builds the DANet generator
+
+
 def cmd_train(args) -> int:
     from gan_danet_tpu.train.trainer import ModelTrainer
 
     cfg = _load_config(args)
-    trainer = ModelTrainer(cfg, logger=_logger(args))
+    trainer = ModelTrainer(cfg, logger=_logger(args),
+                           generator=_make_generator(args, cfg))
     losses_g, losses_d = trainer.train()
     metrics = trainer.evaluate()
     path = trainer.save_checkpoint()
@@ -115,7 +124,8 @@ def cmd_infer(args) -> int:
 
     cfg = _load_config(args)
     data = load_or_build_cache(cfg.data, augmented=False)
-    trainer = ModelTrainer(cfg, data=data, logger=_logger(args))
+    trainer = ModelTrainer(cfg, data=data, logger=_logger(args),
+                           generator=_make_generator(args, cfg))
     if args.checkpoint:
         trainer.restore_checkpoint(args.checkpoint)
     else:
@@ -123,11 +133,9 @@ def cmd_infer(args) -> int:
 
     mask = _load_mask(cfg, args)
     out = args.out or "inference_out"
-    s1 = predict_025(trainer.generator, trainer.state.g_params,
-                     trainer.state.g_batch_stats, data, mask,
-                     export_dir=out)
-    s2 = predict_005(trainer.generator, trainer.state.g_params,
-                     trainer.state.g_batch_stats, data, mask,
+    fn = trainer.apply_fn()
+    s1 = predict_025(fn, data, mask, export_dir=out)
+    s2 = predict_005(fn, data, mask,
                      bias_high=s1.bias_high, stage1_series=s1.series_pred,
                      export_dir=out)
     print(json.dumps({"out_dir": out, "pearson_025": s1.pearson_r,
@@ -186,6 +194,9 @@ def main(argv=None) -> int:
             p.add_argument("--members", type=int, default=5)
         if name == "infer":
             p.add_argument("--checkpoint")
+        if name in ("train", "infer"):
+            p.add_argument("--model", choices=["danet", "hat"],
+                           default="danet")
 
     args = parser.parse_args(argv)
     return args.fn(args)

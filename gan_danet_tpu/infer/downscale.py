@@ -35,6 +35,23 @@ from gan_danet_tpu.ops.resize import resize2d
 from gan_danet_tpu.train.gan import build_inputs
 
 
+def make_apply_fn(generator, params, batch_stats=None):
+    """Close a flax generator module over its variables, yielding the
+    uniform `apply_fn(x) -> (B, 4H, 4W, 1)` interface the pipelines take.
+    Works for the BN-carrying DANet generator (batch_stats given) and for
+    stateless generators like HAT (the reference ran the same two-stage
+    pipeline with HAT — .ipynb_checkpoints/Test_hat-checkpoint.ipynb,
+    SURVEY.md §2.9)."""
+    variables = {"params": params}
+    if batch_stats:
+        variables["batch_stats"] = batch_stats
+
+    def apply_fn(x):
+        return generator.apply(variables, x, train=False)
+
+    return apply_fn
+
+
 def _zoom(arr: np.ndarray, factors, order: int = 3) -> np.ndarray:
     from scipy.ndimage import zoom
 
@@ -61,15 +78,15 @@ class Stage1Result:
 
 
 def predict_025(
-    generator,
-    g_params,
-    g_batch_stats,
+    apply_fn,
     data,
     mask_high: np.ndarray,
     batch_size: int = 8,
     hist_weight: float = 0.2,
     export_dir: Optional[str] = None,
 ) -> Stage1Result:
+    """`apply_fn(x: (B,H/4,W/4,46)) -> (B,H,W,1)` — build one with
+    `make_apply_fn(generator, params, batch_stats)`."""
     ([lr05, trend05], [lr025, trend25], hr_aux, _s05, s025, _sa) = data
     h25, w25 = lr025.shape[1:3]
     coarse_hw = (h25 // 4, w25 // 4)
@@ -77,8 +94,7 @@ def predict_025(
     @jax.jit
     def step(batch):
         x = build_inputs(batch, coarse_hw)
-        pred = generator.apply(
-            {"params": g_params, "batch_stats": g_batch_stats}, x, train=False)
+        pred = apply_fn(x)
         return batched_histogram_match(pred, batch["lr025"], hist_weight)
 
     ds = ArrayDataset(lr05, lr025, hr_aux)
@@ -131,9 +147,7 @@ class Stage2Result:
 
 
 def predict_005(
-    generator,
-    g_params,
-    g_batch_stats,
+    apply_fn,
     data,
     mask_high: np.ndarray,
     bias_high: Optional[np.ndarray] = None,
@@ -156,9 +170,7 @@ def predict_005(
     @jax.jit
     def step(batch):
         xin = jnp.concatenate([batch["lr025"], batch["aux"]], axis=-1)
-        pred = generator.apply(
-            {"params": g_params, "batch_stats": g_batch_stats},
-            xin, train=False)                         # (B, 4H, 4W, 1)
+        pred = apply_fn(xin)                          # (B, 4H, 4W, 1)
         pred = resize2d(pred, (h005, w005), "bicubic")
         pred = batched_histogram_match(pred, batch["lr025"], hist_weight)
         hr_grace = resize2d(batch["lr025"], (4 * h25, 4 * w25), "bicubic")

@@ -180,7 +180,12 @@ class HAT(nn.Module):
     upscale_factor: int = 4
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+    def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        # `train` is accepted (and ignored — HAT is LayerNorm-only, no
+        # batch statistics) so HAT satisfies the uniform generator
+        # interface and can drive the GAN train loop and both inference
+        # pipelines, like the reference's HAT comparison runs.
+        del train
         h, w = x.shape[1], x.shape[2]
         up = self.upscale_factor
         residual = resize2d(x, (up * h, up * w), "bilinear")

@@ -13,6 +13,7 @@ accumulator live in VMEM scratch that persists across the kv dimension.
 from __future__ import annotations
 
 import functools
+import math
 
 import jax
 import jax.numpy as jnp
@@ -67,13 +68,15 @@ def _pam_kernel(q_ref, k_ref, v_ref, o_ref, acc_ref, m_ref, l_ref, *, n_valid, b
         o_ref[0] = (acc_ref[:] / l_ref[:]).astype(o_ref.dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("block_q", "block_k"))
+@functools.partial(jax.jit,
+                   static_argnames=("block_q", "block_k", "interpret"))
 def pam_flash_forward(
     q: jnp.ndarray,
     k: jnp.ndarray,
     v: jnp.ndarray,
     block_q: int = 256,
     block_k: int = 512,
+    interpret: bool = False,
 ) -> jnp.ndarray:
     """q,k: (B,N,d); v: (B,N,C) -> (B,N,C). Forward only (VJP routed through
     the XLA-blocked implementation in ops/attention.py)."""
@@ -85,9 +88,14 @@ def pam_flash_forward(
             f"match, got {n}/{k.shape[1]}/{v.shape[1]}"
         )
 
-    bq = min(block_q, _round_up(n, 8))
-    bk = min(block_k, _round_up(n, 8))
-    n_pad = _round_up(n, max(bq, bk))
+    # n_pad must be a common multiple of BOTH block sizes, or trailing
+    # q-blocks are silently never visited (garbage rows past n_pad//bq*bq).
+    if n <= max(block_q, block_k):
+        bq = bk = _round_up(n, 8)          # single block each way
+        n_pad = bq
+    else:
+        bq, bk = block_q, block_k
+        n_pad = _round_up(n, math.lcm(bq, bk))
     d_pad = _round_up(d, 128)
     c_pad = _round_up(c, 128)
 
@@ -121,6 +129,7 @@ def pam_flash_forward(
             bytes_accessed=4 * b * n_pad * (2 * d_pad + 2 * c_pad),
             transcendentals=b * n_pad * n_pad,
         ),
+        interpret=interpret,
     )(qp, kp, vp)
 
     return out[:, :n, :c]

@@ -49,7 +49,12 @@ class ModelTrainer:
         config: ExperimentConfig,
         data: Optional[Tuple] = None,
         logger: Optional[MetricsLogger] = None,
+        generator=None,
     ):
+        """`generator` swaps the DANet generator for any flax module with
+        the uniform `__call__(x, train)` (B,H/4,W/4,C)->(B,H,W,1) interface
+        — e.g. models.hat.HAT, mirroring the reference's HAT comparison
+        pipeline (SURVEY.md §2.9)."""
         self.config = config
         tc = config.train
         self.logger = logger or MetricsLogger(echo=False)
@@ -74,11 +79,14 @@ class ModelTrainer:
         self.coarse_hw = (h25 // 4, w25 // 4)
         n_aux = hr_aux.shape[-1]
 
-        gen_cfg = config.generator
-        if gen_cfg.input_channels != n_aux + 1:
-            gen_cfg = GeneratorConfig(
-                **{**gen_cfg.__dict__, "input_channels": n_aux + 1})
-        self.generator = FlexibleUpsamplingModule(gen_cfg)
+        if generator is not None:
+            self.generator = generator
+        else:
+            gen_cfg = config.generator
+            if gen_cfg.input_channels != n_aux + 1:
+                gen_cfg = GeneratorConfig(
+                    **{**gen_cfg.__dict__, "input_channels": n_aux + 1})
+            self.generator = FlexibleUpsamplingModule(gen_cfg)
         self.discriminator = Discriminator1(
             input_hw=(h25, w25),
             widths=config.discriminator.widths,
@@ -214,6 +222,15 @@ class ModelTrainer:
                     f"no checkpoints in {self.config.train.checkpoint_dir}")
         self.state = jax.tree.map(
             jnp.asarray, restore_train_state(path, self.state))
+
+    # ------------------------------------------------------------------
+    def apply_fn(self):
+        """The trained generator closed over its current variables — the
+        uniform forward the inference pipelines take."""
+        from gan_danet_tpu.infer.downscale import make_apply_fn
+
+        return make_apply_fn(self.generator, self.state.g_params,
+                             self.state.g_batch_stats)
 
     # ------------------------------------------------------------------
     def predict(self, loader: Optional[Batcher] = None) -> np.ndarray:

@@ -87,3 +87,20 @@ def test_cam_matches_torch(rng):
     got = np.asarray(cam_attention(jnp.asarray(x)))
     want = _torch_cam(torch.from_numpy(x).permute(0, 2, 1)).permute(0, 2, 1).numpy()
     np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+
+def test_pam_pallas_kernel_interpret_matches_naive(rng):
+    """Pallas kernel correctness in interpret mode, including the N=320
+    regression (token counts that are NOT multiples of block_q previously
+    left trailing query blocks unwritten)."""
+    from gan_danet_tpu.ops.pallas.pam_kernel import pam_flash_forward
+
+    for n in (320, 57, 512, 700):
+        q = jnp.asarray(rng.standard_normal((1, n, 8)), jnp.float32)
+        k = jnp.asarray(rng.standard_normal((1, n, 8)), jnp.float32)
+        v = jnp.asarray(rng.standard_normal((1, n, 16)), jnp.float32)
+        got = np.asarray(pam_flash_forward(q, k, v, interpret=True))
+        want = np.asarray(_pam_naive(q, k, v))
+        assert np.isfinite(got).all(), f"n={n}: non-finite output"
+        np.testing.assert_allclose(got, want, rtol=2e-3, atol=2e-3,
+                                   err_msg=f"n={n}")

@@ -55,8 +55,7 @@ def test_smooth_blend_region_semantics(rng):
 def test_predict_025_end_to_end(trained, tmp_path):
     trainer, data, raw = trained
     res = predict_025(
-        trainer.generator, trainer.state.g_params,
-        trainer.state.g_batch_stats, data,
+        trainer.apply_fn(), data,
         mask_high=raw.mask_high, batch_size=4,
         export_dir=tmp_path,
     )
@@ -73,15 +72,13 @@ def test_predict_025_end_to_end(trained, tmp_path):
 def test_predict_005_end_to_end(trained, tmp_path):
     trainer, data, raw = trained
     s1 = predict_025(
-        trainer.generator, trainer.state.g_params,
-        trainer.state.g_batch_stats, data,
+        trainer.apply_fn(), data,
         mask_high=raw.mask_high, batch_size=4,
     )
     unc = np.abs(np.random.default_rng(0).standard_normal(
         data[1][0].shape)).astype(np.float32)
     s2 = predict_005(
-        trainer.generator, trainer.state.g_params,
-        trainer.state.g_batch_stats, data,
+        trainer.apply_fn(), data,
         mask_high=raw.mask_high, bias_high=s1.bias_high,
         uncertainty=unc, stage1_series=s1.series_pred,
         batch_size=2, export_dir=tmp_path,
