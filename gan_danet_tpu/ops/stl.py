@@ -148,6 +148,21 @@ def stl_operator(
     return a_t.astype(np.float32), a_s.astype(np.float32)
 
 
+def detrend_and_compare(cube, period: int = 12, seasonal: int = 13):
+    """API parity with reference datasets.py:57-136: returns
+    (trend, detrended, reconstructed, max_reconstruction_error).
+    Here reconstruction is exact by construction (detrended := cube−trend),
+    matching the reference's observed 8.9e-16 invariant."""
+    import numpy as np
+
+    trend, detrended = stl_detrend(jnp.asarray(cube), period, seasonal)
+    trend = np.asarray(trend)
+    detrended = np.asarray(detrended)
+    recon = trend + detrended
+    max_err = float(np.max(np.abs(recon - np.asarray(cube))))
+    return trend, detrended, recon, max_err
+
+
 def stl_detrend(
     cube: jnp.ndarray,
     period: int = 12,

@@ -69,3 +69,17 @@ def test_stl_operator_is_linear(rng):
     y1 = rng.standard_normal(60)
     y2 = rng.standard_normal(60)
     np.testing.assert_allclose(a_t @ (y1 + y2), a_t @ y1 + a_t @ y2, atol=1e-5)
+
+
+def test_detrend_and_compare_exact_reconstruction(rng):
+    from gan_danet_tpu.ops.stl import detrend_and_compare
+
+    t = np.arange(48, dtype=np.float32)
+    cube = (0.1 * t[:, None, None]
+            + np.sin(2 * np.pi * t / 12)[:, None, None]
+            + rng.standard_normal((48, 4, 5)).astype(np.float32))
+    trend, detrended, recon, max_err = detrend_and_compare(cube)
+    assert trend.shape == detrended.shape == recon.shape == cube.shape
+    # exact by construction (the reference observed 8.9e-16)
+    assert max_err < 1e-5
+    np.testing.assert_allclose(recon, cube, atol=1e-5)
