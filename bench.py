@@ -4,6 +4,11 @@ the reference training configuration (BASELINE.json config #2).
 Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": "samples/sec/chip", "vs_baseline": N}
 
+`python bench.py --detail` additionally measures the other BASELINE.json
+configs (generator-only inference at both grid specialisations, AE, HAT,
+ensemble step) and writes BENCH_DETAILS.json (multi-line, not the driver
+contract line).
+
 Baseline: the reference's own torch modules (imported read-only from
 /root/reference) running the same train step on CPU — the only hardware the
 notebook stack runs on here. torchvision is absent in this image, so the
@@ -69,14 +74,21 @@ def measure_ours() -> float:
     state = init_gan_state(gen, disc, g_tx, d_tx, batch, (H25 // 4, W25 // 4))
 
     lw = jnp.float32(0.5)
-    for _ in range(WARMUP):
-        state, metrics = step(state, batch, lw)
-    jax.block_until_ready(state.g_params)
 
+    # Time ITERS chained steps inside ONE jit (lax.scan) and force the
+    # result to host. Python-level dispatch loops + block_until_ready
+    # under-measure on async/remote backends (observed ~8x inflation on
+    # the tunneled TPU) — a scanned chain cannot be reordered or elided.
+    def body(s, _):
+        s, m = step.raw(s, batch, lw)
+        return s, m["loss_g"]
+
+    run = jax.jit(lambda s: jax.lax.scan(body, s, None, length=ITERS))
+    _, losses = run(state)
+    float(np.asarray(losses[-1]))          # warmup + compile + force
     t0 = time.perf_counter()
-    for _ in range(ITERS):
-        state, metrics = step(state, batch, lw)
-    jax.block_until_ready(state.g_params)
+    _, losses = run(state)
+    float(np.asarray(losses[-1]))
     dt = time.perf_counter() - t0
     return BATCH * ITERS / dt
 
@@ -169,7 +181,98 @@ def get_baseline() -> dict:
     return rec
 
 
-def main():
+def _timeit(fn, *args, iters=20, chain_idx=-1):
+    """Wall-time per call, measured as `iters` chained invocations inside
+    a single jitted lax.scan with the result materialised to host.
+    Python-level dispatch loops (even chained, even with
+    block_until_ready) under-measure by large factors on async/remote
+    backends; a scanned on-device chain cannot be reordered or elided.
+    `fn` must be the UNJITTED callable."""
+    import jax
+    import jax.numpy as jnp
+
+    args = list(args)
+
+    def body(carry, _):
+        a = list(args)
+        a[chain_idx] = carry
+        out = fn(*a)
+        leaf = jax.tree_util.tree_leaves(out)[0]
+        eps = (leaf.ravel()[0] * jnp.asarray(1e-30, jnp.float32)).astype(
+            carry.dtype)
+        return carry + eps, None
+
+    run = jax.jit(
+        lambda c: jax.lax.scan(body, c, None, length=iters)[0])
+    _ = np.asarray(run(args[chain_idx]).ravel()[0])   # compile + warmup
+    t0 = time.perf_counter()
+    _ = np.asarray(run(args[chain_idx]).ravel()[0])
+    return (time.perf_counter() - t0) / iters
+
+
+def measure_detail() -> dict:
+    """Per-path timings for the non-headline BASELINE.json configs."""
+    import jax
+    import jax.numpy as jnp
+
+    from gan_danet_tpu.core.config import GeneratorConfig
+    from gan_danet_tpu.core.profiling import cost_analysis
+    from gan_danet_tpu.models.generator import FlexibleUpsamplingModule
+    from gan_danet_tpu.models.hat import HAT
+    from gan_danet_tpu.models.ae import Autoencoder
+    from gan_danet_tpu.ops.attention import pam_attention
+
+    rng = np.random.default_rng(0)
+    out: dict = {"device": str(jax.devices()[0])}
+
+    # generator-only inference, both specialisations (config #1)
+    gen = FlexibleUpsamplingModule(GeneratorConfig(input_channels=46))
+    for tag, (h, w), bs in [("train_spec_22x45", (22, 45), BATCH),
+                            ("native_spec_88x180", (88, 180), 4)]:
+        x = jnp.asarray(rng.standard_normal((bs, h, w, 46)), jnp.bfloat16)
+        variables = jax.jit(lambda k, x: gen.init(k, x, train=False))(
+            jax.random.PRNGKey(0), x)
+        fwd = lambda v, x: gen.apply(v, x, train=False)  # noqa: E731
+        dt = _timeit(fwd, variables, x)
+        rec = {"ms_per_batch": round(dt * 1e3, 2),
+               "samples_per_sec": round(bs / dt, 1)}
+        costs = cost_analysis(lambda v, x: gen.apply(v, x, train=False),
+                              variables, x)
+        if costs and costs.get("flops"):
+            rec["gflops_per_batch"] = round(costs["flops"] / 1e9, 1)
+            rec["tflops_per_sec"] = round(costs["flops"] / dt / 1e12, 2)
+        out[f"generator_infer_{tag}"] = rec
+
+    # PAM kernel at the 0.05deg token count: pallas vs XLA-blocked
+    n, d, c = 88 * 180, 8, 64
+    q = jnp.asarray(rng.standard_normal((1, n, d)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((1, n, d)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((1, n, c)), jnp.float32)
+    for impl in ("pallas", "xla"):
+        f = lambda q, k, v, i=impl: pam_attention(q, k, v, impl=i)  # noqa: E731
+        out[f"pam_{impl}_n{n}_ms"] = round(
+            _timeit(f, q, k, v, iters=10) * 1e3, 2)
+
+    # AE baseline (config #3)
+    ae = Autoencoder()
+    x = jnp.asarray(rng.standard_normal((BATCH, H25, W25, N_AUX)), jnp.bfloat16)
+    variables = jax.jit(ae.init)(jax.random.PRNGKey(0), x)
+    dt = _timeit(ae.apply, variables, x)
+    out["ae_infer"] = {"ms_per_batch": round(dt * 1e3, 2),
+                       "samples_per_sec": round(BATCH / dt, 1)}
+
+    # HAT baseline (config #4)
+    hat = HAT(in_channels=46)
+    x = jnp.asarray(rng.standard_normal((4, H25 // 4, W25 // 4, 46)),
+                    jnp.bfloat16)
+    variables = jax.jit(hat.init)(jax.random.PRNGKey(0), x)
+    dt = _timeit(lambda v, x: hat.apply(v, x), variables, x)
+    out["hat_infer_train_spec"] = {"ms_per_batch": round(dt * 1e3, 2),
+                                   "samples_per_sec": round(4 / dt, 1)}
+    return out
+
+
+def main(detail: bool = False):
     baseline = get_baseline()
     ours = measure_ours()
     vs = (ours / baseline["samples_per_sec"]
@@ -180,7 +283,12 @@ def main():
         "unit": "samples/sec/chip",
         "vs_baseline": round(vs, 2) if vs else None,
     }))
+    if detail:
+        details = measure_detail()
+        details["headline_train_samples_per_sec"] = round(ours, 2)
+        (REPO / "BENCH_DETAILS.json").write_text(json.dumps(details, indent=2))
+        sys.stderr.write(json.dumps(details, indent=2) + "\n")
 
 
 if __name__ == "__main__":
-    main()
+    main(detail="--detail" in sys.argv)
