@@ -57,8 +57,9 @@ def measure_ours() -> float:
     from gan_danet_tpu.train.gan import init_gan_state, make_train_step
 
     tc = TrainConfig()
-    gen = FlexibleUpsamplingModule(GeneratorConfig(input_channels=N_AUX + 1))
-    disc = Discriminator1(input_hw=(H25, W25))
+    gen = FlexibleUpsamplingModule(
+        GeneratorConfig(input_channels=N_AUX + 1, dtype=tc.dtype))
+    disc = Discriminator1(input_hw=(H25, W25), dtype=tc.dtype)
     g_tx = optax.adamw(tc.lr_g, b1=tc.adam_b1, b2=tc.adam_b2,
                        weight_decay=tc.weight_decay)
     d_tx = optax.adamw(tc.lr_d, b1=tc.adam_b1, b2=tc.adam_b2,
@@ -226,7 +227,8 @@ def measure_detail() -> dict:
     out: dict = {"device": str(jax.devices()[0])}
 
     # generator-only inference, both specialisations (config #1)
-    gen = FlexibleUpsamplingModule(GeneratorConfig(input_channels=46))
+    gen = FlexibleUpsamplingModule(
+        GeneratorConfig(input_channels=46, dtype="bfloat16"))
     for tag, (h, w), bs in [("train_spec_22x45", (22, 45), BATCH),
                             ("native_spec_88x180", (88, 180), 4)]:
         x = jnp.asarray(rng.standard_normal((bs, h, w, 46)), jnp.bfloat16)

@@ -110,6 +110,8 @@ class GeneratorConfig:
     se_reduction: int = 16
     norm: str = "batch"                # 'batch' | 'group'
     use_pallas_attention: bool = True  # Pallas kernels on TPU, XLA fallback otherwise
+    dtype: str = "float32"             # compute dtype ('float32'|'bfloat16');
+                                       # params/BN stats always stay float32
 
 
 @dataclass(frozen=True)
@@ -123,6 +125,7 @@ class DiscriminatorConfig:
     widths: Tuple[int, ...] = (64, 128, 256, 512)
     hidden: int = 1024
     leaky_slope: float = 0.2
+    dtype: str = "float32"
 
 
 @dataclass(frozen=True)

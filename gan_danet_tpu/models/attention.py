@@ -24,14 +24,18 @@ class PAMModule(nn.Module):
     channels: int
     reduction: int = 8
     impl: str = "auto"
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:  # (B,H,W,C)
         b, h, w, c = x.shape
         reduced = max(1, self.channels // self.reduction)
-        q = nn.Conv(reduced, (1, 1), kernel_init=kaiming_conv_init, name="query")(x)
-        k = nn.Conv(reduced, (1, 1), kernel_init=kaiming_conv_init, name="key")(x)
-        v = nn.Conv(c, (1, 1), kernel_init=kaiming_conv_init, name="value")(x)
+        q = nn.Conv(reduced, (1, 1), dtype=self.dtype,
+                    kernel_init=kaiming_conv_init, name="query")(x)
+        k = nn.Conv(reduced, (1, 1), dtype=self.dtype,
+                    kernel_init=kaiming_conv_init, name="key")(x)
+        v = nn.Conv(c, (1, 1), dtype=self.dtype,
+                    kernel_init=kaiming_conv_init, name="value")(x)
         gamma = self.param("gamma", nn.initializers.zeros, (1,))
 
         n = h * w
@@ -39,7 +43,7 @@ class PAMModule(nn.Module):
             q.reshape(b, n, reduced), k.reshape(b, n, reduced), v.reshape(b, n, c),
             impl=self.impl,
         ).reshape(b, h, w, c)
-        return gamma * out + x
+        return gamma.astype(out.dtype) * out + x
 
 
 class CAMModule(nn.Module):
@@ -53,7 +57,7 @@ class CAMModule(nn.Module):
         b, h, w, c = x.shape
         gamma = self.param("gamma", nn.initializers.zeros, (1,))
         out = cam_attention(x.reshape(b, h * w, c)).reshape(b, h, w, c)
-        return gamma * out + x
+        return gamma.astype(out.dtype) * out + x
 
 
 class DANetAttention(nn.Module):
@@ -63,17 +67,19 @@ class DANetAttention(nn.Module):
     channels: int
     pam_reduction: int = 8
     pam_impl: str = "auto"
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = True) -> jnp.ndarray:
         position = PAMModule(self.channels, self.pam_reduction, self.pam_impl,
-                             name="position_attention")(x)
+                             self.dtype, name="position_attention")(x)
         channel = CAMModule(self.channels, name="channel_attention")(x)
         y = jnp.concatenate([position, channel], axis=-1)
         y = nn.Conv(self.channels, (3, 3), padding=((1, 1), (1, 1)), use_bias=False,
-                    kernel_init=kaiming_conv_init, name="fuse_conv")(y)
+                    dtype=self.dtype, kernel_init=kaiming_conv_init,
+                    name="fuse_conv")(y)
         y = nn.BatchNorm(use_running_average=not train, momentum=0.9,
-                         epsilon=1e-5, name="fuse_bn")(y)
+                         epsilon=1e-5, dtype=self.dtype, name="fuse_bn")(y)
         return nn.relu(y)
 
 
@@ -117,6 +123,7 @@ def build_attention(
     channels: int,
     pam_reduction: int = 8,
     pam_impl: str = "auto",
+    dtype: jnp.dtype = jnp.float32,
     name: Optional[str] = None,
 ):
     """Map attention-type string to a module. 'senet' and 'cbam' alias to
@@ -132,5 +139,6 @@ def build_attention(
                 f"Attention type '{attention_type}' currently aliases to 'danet'.",
                 RuntimeWarning,
             )
-        return DANetAttention(channels, pam_reduction, pam_impl, name=name)
+        return DANetAttention(channels, pam_reduction, pam_impl, dtype,
+                              name=name)
     raise ValueError(f"Unsupported attention type: {attention_type}")

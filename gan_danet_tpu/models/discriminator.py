@@ -28,17 +28,24 @@ class Discriminator1(nn.Module):
     widths: Tuple[int, ...] = (64, 128, 256, 512)
     hidden: int = 1024
     leaky_slope: float = 0.2
+    dtype: str = "float32"             # compute dtype; params stay float32
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:  # (B,H,W,1) -> (B,1)
+        dtype = jnp.bfloat16 if self.dtype in ("bfloat16", "bf16") else jnp.float32
+        x = x.astype(dtype)
         for i, w in enumerate(self.widths):
             x = nn.Conv(w, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)),
-                        kernel_init=kaiming_conv_init, name=f"conv{i + 1}")(x)
+                        dtype=dtype, kernel_init=kaiming_conv_init,
+                        name=f"conv{i + 1}")(x)
             x = nn.leaky_relu(x, self.leaky_slope)
         x = x.reshape(x.shape[0], -1)
-        x = nn.Dense(self.hidden, kernel_init=xavier_linear_init, name="fc1")(x)
+        x = nn.Dense(self.hidden, dtype=dtype, kernel_init=xavier_linear_init,
+                     name="fc1")(x)
         x = nn.leaky_relu(x, self.leaky_slope)
-        return nn.Dense(1, kernel_init=xavier_linear_init, name="fc2")(x)
+        # logits in f32 for a stable BCE
+        return nn.Dense(1, kernel_init=xavier_linear_init,
+                        name="fc2")(x.astype(jnp.float32))
 
     @staticmethod
     def flatten_dim(input_hw: Tuple[int, int], widths=(64, 128, 256, 512)) -> int:

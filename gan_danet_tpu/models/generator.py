@@ -27,9 +27,17 @@ from gan_danet_tpu.models.initializers import kaiming_conv_init
 from gan_danet_tpu.ops.resize import resize2d
 
 
-def _bn(train: bool, name: str) -> nn.BatchNorm:
+def resolve_dtype(name: str):
+    """'float32' | 'bfloat16' -> jnp dtype. Params/BN statistics always
+    stay float32 (flax param_dtype default); this only sets the compute
+    dtype so convs hit the MXU at bf16 rate."""
+    return jnp.bfloat16 if name in ("bfloat16", "bf16") else jnp.float32
+
+
+def _bn(train: bool, name: str, dtype=jnp.float32) -> nn.BatchNorm:
+    # flax computes the batch statistics in float32 regardless of dtype
     return nn.BatchNorm(use_running_average=not train, momentum=0.9,
-                        epsilon=1e-5, name=name)
+                        epsilon=1e-5, dtype=dtype, name=name)
 
 
 class OriginalRelationshipLearner(nn.Module):
@@ -38,11 +46,12 @@ class OriginalRelationshipLearner(nn.Module):
     instead) — kept for API completeness."""
 
     input_channels: int = 40
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         for i, ch in enumerate((64, 128, 256, 512, 1024)):
-            x = nn.Conv(ch, (3, 3), padding=((1, 1), (1, 1)),
+            x = nn.Conv(ch, (3, 3), padding=((1, 1), (1, 1)), dtype=self.dtype,
                         kernel_init=kaiming_conv_init, name=f"conv{i}")(x)
             x = nn.relu(x)
         return x
@@ -53,24 +62,28 @@ class DenseLayer(nn.Module):
     (reference models/generator.py:29-38)."""
 
     growth_rate: int
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = True) -> jnp.ndarray:
-        y = _bn(train, "bn")(x)
+        y = _bn(train, "bn", self.dtype)(x)
         y = nn.relu(y)
         y = nn.Conv(self.growth_rate, (3, 3), padding=((1, 1), (1, 1)),
-                    kernel_init=kaiming_conv_init, name="conv")(y)
-        return jnp.concatenate([x, y], axis=-1)
+                    dtype=self.dtype, kernel_init=kaiming_conv_init,
+                    name="conv")(y)
+        return jnp.concatenate([x, y.astype(x.dtype)], axis=-1)
 
 
 class DenseBlock(nn.Module):
     num_layers: int
     growth_rate: int
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = True) -> jnp.ndarray:
         for i in range(self.num_layers):
-            x = DenseLayer(self.growth_rate, name=f"layer{i}")(x, train)
+            x = DenseLayer(self.growth_rate, self.dtype,
+                           name=f"layer{i}")(x, train)
         return x
 
 
@@ -78,12 +91,13 @@ class TransitionLayer(nn.Module):
     """BN-ReLU-Conv1x1 channel halving (reference models/generator.py:57-67)."""
 
     out_channels: int
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = True) -> jnp.ndarray:
-        y = _bn(train, "bn")(x)
+        y = _bn(train, "bn", self.dtype)(x)
         y = nn.relu(y)
-        return nn.Conv(self.out_channels, (1, 1),
+        return nn.Conv(self.out_channels, (1, 1), dtype=self.dtype,
                        kernel_init=kaiming_conv_init, name="conv")(y)
 
 
@@ -95,11 +109,13 @@ class FlexibleUpsamplingModule(nn.Module):
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = True) -> jnp.ndarray:
         cfg = self.config
+        dtype = resolve_dtype(cfg.dtype)
+        x = x.astype(dtype)
 
         x = nn.Conv(cfg.base_channels, (3, 3), padding=((1, 1), (1, 1)),
-                    use_bias=False, kernel_init=kaiming_conv_init,
+                    use_bias=False, dtype=dtype, kernel_init=kaiming_conv_init,
                     name="initial_conv")(x)
-        x = _bn(train, "initial_bn")(x)
+        x = _bn(train, "initial_bn", dtype)(x)
         x = nn.relu(x)
 
         num_features = cfg.base_channels
@@ -107,13 +123,13 @@ class FlexibleUpsamplingModule(nn.Module):
         skips: List[jnp.ndarray] = []
         for block_idx in range(cfg.num_blocks):
             x = DenseBlock(cfg.num_layers_per_block, cfg.growth_rate,
-                           name=f"dense_block{block_idx}")(x, train)
+                           dtype, name=f"dense_block{block_idx}")(x, train)
             num_features += cfg.num_layers_per_block * cfg.growth_rate
 
             attention = build_attention(
                 cfg.attention_type, num_features, cfg.pam_reduction,
                 "auto" if cfg.use_pallas_attention else "xla",
-                name=f"attention{block_idx}",
+                dtype=dtype, name=f"attention{block_idx}",
             )
             if attention is not None:
                 x = attention(x, train)
@@ -122,21 +138,21 @@ class FlexibleUpsamplingModule(nn.Module):
 
             if block_idx != cfg.num_blocks - 1:
                 num_features //= 2
-                x = TransitionLayer(num_features,
+                x = TransitionLayer(num_features, dtype,
                                     name=f"transition{block_idx}")(x, train)
 
         # upsample head: Conv-BN-ReLU, bicubic x2, Conv-BN-ReLU, bicubic x2
         h_in, w_in = x.shape[1], x.shape[2]
         x = nn.Conv(cfg.base_channels, (3, 3), padding=((1, 1), (1, 1)),
-                    use_bias=False, kernel_init=kaiming_conv_init,
+                    use_bias=False, dtype=dtype, kernel_init=kaiming_conv_init,
                     name="up_conv0")(x)
-        x = _bn(train, "up_bn0")(x)
+        x = _bn(train, "up_bn0", dtype)(x)
         x = nn.relu(x)
         x = resize2d(x, (2 * h_in, 2 * w_in), "bicubic")
         x = nn.Conv(cfg.base_channels, (3, 3), padding=((1, 1), (1, 1)),
-                    use_bias=False, kernel_init=kaiming_conv_init,
+                    use_bias=False, dtype=dtype, kernel_init=kaiming_conv_init,
                     name="up_conv1")(x)
-        x = _bn(train, "up_bn1")(x)
+        x = _bn(train, "up_bn1", dtype)(x)
         x = nn.relu(x)
         x = resize2d(x, (4 * h_in, 4 * w_in), "bicubic")
 
@@ -146,8 +162,8 @@ class FlexibleUpsamplingModule(nn.Module):
         for adjust_idx, feature in enumerate(reversed(skips)):
             resized = resize2d(feature, out_hw, "bilinear")
             x = x + nn.Conv(cfg.base_channels, (1, 1), use_bias=False,
-                            kernel_init=kaiming_conv_init,
+                            dtype=dtype, kernel_init=kaiming_conv_init,
                             name=f"channel_adjust{adjust_idx}")(resized)
 
-        return nn.Conv(1, (3, 3), padding=((1, 1), (1, 1)),
+        return nn.Conv(1, (3, 3), padding=((1, 1), (1, 1)), dtype=dtype,
                        kernel_init=kaiming_conv_init, name="final_conv")(x)

@@ -83,14 +83,17 @@ class ModelTrainer:
             self.generator = generator
         else:
             gen_cfg = config.generator
-            if gen_cfg.input_channels != n_aux + 1:
-                gen_cfg = GeneratorConfig(
-                    **{**gen_cfg.__dict__, "input_channels": n_aux + 1})
+            # propagate input-channel count and the training compute dtype
+            gen_cfg = GeneratorConfig(
+                **{**gen_cfg.__dict__,
+                   "input_channels": n_aux + 1,
+                   "dtype": tc.dtype})
             self.generator = FlexibleUpsamplingModule(gen_cfg)
         self.discriminator = Discriminator1(
             input_hw=(h25, w25),
             widths=config.discriminator.widths,
             hidden=config.discriminator.hidden,
+            dtype=tc.dtype,
         )
 
         steps_per_epoch = max(1, len(self.train_loader))

@@ -1,5 +1,6 @@
 """Model shape/behaviour tests (the reference's only 'tests' were notebook
 shape smokes — SURVEY.md §4.1; these formalise them)."""
+import chex
 import numpy as np
 import pytest
 
@@ -123,3 +124,33 @@ def test_senet_aliases_to_danet_with_warning():
     assert build_attention("none", 16) is None
     with pytest.raises(ValueError):
         build_attention("nonsense", 16)
+
+
+def test_generator_bfloat16_compute_path(rng):
+    """bf16 compute dtype: params stay f32, outputs finite and close to
+    the f32 forward (MXU-rate path used by the benchmark/trainer)."""
+    import dataclasses
+
+    from gan_danet_tpu.core.config import GeneratorConfig
+    from gan_danet_tpu.models.generator import FlexibleUpsamplingModule
+
+    cfg32 = GeneratorConfig(input_channels=8, num_blocks=2,
+                            num_layers_per_block=2, growth_rate=8,
+                            use_pallas_attention=False)
+    cfg16 = dataclasses.replace(cfg32, dtype="bfloat16")
+    g32 = FlexibleUpsamplingModule(cfg32)
+    g16 = FlexibleUpsamplingModule(cfg16)
+    x = jnp.asarray(rng.standard_normal((2, 8, 10, 8)), jnp.float32)
+    variables = g32.init(jax.random.PRNGKey(0), x, train=False)
+    # params are compute-dtype independent
+    chex.assert_trees_all_equal_shapes(
+        variables["params"],
+        g16.init(jax.random.PRNGKey(0), x, train=False)["params"])
+    y32 = g32.apply(variables, x, train=False)
+    y16 = g16.apply(variables, x, train=False)
+    assert y16.dtype == jnp.bfloat16
+    assert jnp.isfinite(y16.astype(jnp.float32)).all()
+    np.testing.assert_allclose(np.asarray(y16, np.float32), np.asarray(y32),
+                               rtol=0.1, atol=0.15)
+    p32 = jax.tree_util.tree_leaves(variables["params"])[0]
+    assert p32.dtype == jnp.float32
