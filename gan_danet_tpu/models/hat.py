@@ -46,17 +46,18 @@ class ChannelAttentionHAT(nn.Module):
 
     channels: int
     reduction: int = 16
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:  # (B,H,W,C)
         reduced = max(self.channels // self.reduction, 1)
         y = jnp.mean(x, axis=(1, 2))                       # (B, C)
-        y = nn.Dense(reduced, use_bias=False,
+        y = nn.Dense(reduced, use_bias=False, dtype=self.dtype,
                      kernel_init=xavier_linear_init, name="fc1")(y)
         y = nn.relu(y)
-        y = nn.Dense(self.channels, use_bias=False,
+        y = nn.Dense(self.channels, use_bias=False, dtype=self.dtype,
                      kernel_init=xavier_linear_init, name="fc2")(y)
-        return x * nn.sigmoid(y)[:, None, None, :]
+        return x * nn.sigmoid(y)[:, None, None, :].astype(x.dtype)
 
 
 class WindowAttention(nn.Module):
@@ -66,6 +67,7 @@ class WindowAttention(nn.Module):
     dim: int
     num_heads: int
     window_size: int
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:  # (B_, N, C)
@@ -74,8 +76,8 @@ class WindowAttention(nn.Module):
         head_dim = c // heads
         scale = head_dim**-0.5
 
-        qkv = nn.Dense(c * 3, use_bias=False, kernel_init=xavier_linear_init,
-                       name="qkv")(x)
+        qkv = nn.Dense(c * 3, use_bias=False, dtype=self.dtype,
+                       kernel_init=xavier_linear_init, name="qkv")(x)
         qkv = qkv.reshape(b_, n, 3, heads, head_dim)
         q, k, v = (qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2])  # (B_, N, h, d)
 
@@ -91,8 +93,10 @@ class WindowAttention(nn.Module):
         attn = jnp.einsum("bnhd,bmhd->bhnm", q * scale, k,
                           preferred_element_type=jnp.float32)
         attn = jax.nn.softmax(attn + rel_bias[None], axis=-1)
-        out = jnp.einsum("bhnm,bmhd->bnhd", attn, v).reshape(b_, n, c)
-        return nn.Dense(c, kernel_init=xavier_linear_init, name="proj")(out)
+        out = jnp.einsum("bhnm,bmhd->bnhd", attn.astype(v.dtype),
+                         v).reshape(b_, n, c)
+        return nn.Dense(c, dtype=self.dtype, kernel_init=xavier_linear_init,
+                        name="proj")(out)
 
 
 def window_partition(x: jnp.ndarray, w: int) -> jnp.ndarray:
@@ -115,16 +119,18 @@ class HAB(nn.Module):
     channels: int
     window_size: int
     num_heads: int
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:  # (B,H,W,C)
         residual = x
-        y = nn.LayerNorm(name="norm1")(x)
-        y = ChannelAttentionHAT(self.channels, name="channel_attention")(y)
+        y = nn.LayerNorm(dtype=self.dtype, name="norm1")(x)
+        y = ChannelAttentionHAT(self.channels, dtype=self.dtype,
+                                name="channel_attention")(y)
         x = y + residual
 
         residual = x
-        y = nn.LayerNorm(name="norm2")(x)
+        y = nn.LayerNorm(dtype=self.dtype, name="norm2")(x)
         b, h, wd, c = y.shape
         w = self.window_size
         pad_h = (w - h % w) % w
@@ -133,7 +139,7 @@ class HAB(nn.Module):
             y = jnp.pad(y, ((0, 0), (0, pad_h), (0, pad_w), (0, 0)))
         hp, wp = h + pad_h, wd + pad_w
         windows = window_partition(y, w)
-        windows = WindowAttention(c, self.num_heads, w,
+        windows = WindowAttention(c, self.num_heads, w, self.dtype,
                                   name="window_attention")(windows)
         y = window_merge(windows, (hp, wp), w)
         if pad_h or pad_w:
@@ -146,15 +152,17 @@ class RHAG(nn.Module):
     num_habs: int
     window_size: int
     num_heads: int
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         residual = x
         for i in range(self.num_habs):
             x = HAB(self.channels, self.window_size, self.num_heads,
-                    name=f"hab{i}")(x)
+                    self.dtype, name=f"hab{i}")(x)
         x = nn.Conv(self.channels, (3, 3), padding=((1, 1), (1, 1)),
-                    kernel_init=kaiming_conv_init, name="conv")(x)
+                    dtype=self.dtype, kernel_init=kaiming_conv_init,
+                    name="conv")(x)
         return x + residual
 
 
@@ -178,6 +186,7 @@ class HAT(nn.Module):
     window_size: int = 8
     num_heads: int = 8
     upscale_factor: int = 4
+    dtype: str = "float32"             # compute dtype; params stay float32
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
@@ -186,29 +195,36 @@ class HAT(nn.Module):
         # interface and can drive the GAN train loop and both inference
         # pipelines, like the reference's HAT comparison runs.
         del train
+        dtype = (jnp.bfloat16 if self.dtype in ("bfloat16", "bf16")
+                 else jnp.float32)
+        x = x.astype(dtype)
         h, w = x.shape[1], x.shape[2]
         up = self.upscale_factor
         residual = resize2d(x, (up * h, up * w), "bilinear")
         if self.in_channels != self.out_channels:
-            residual = nn.Conv(self.out_channels, (1, 1),
+            residual = nn.Conv(self.out_channels, (1, 1), dtype=dtype,
                                kernel_init=kaiming_conv_init,
                                name="residual_conv")(residual)
 
         x = nn.Conv(self.channels, (3, 3), padding=((1, 1), (1, 1)),
-                    kernel_init=kaiming_conv_init, name="entry")(x)
+                    dtype=dtype, kernel_init=kaiming_conv_init,
+                    name="entry")(x)
         body_in = x
         for g in range(self.num_groups):
             x = RHAG(self.channels, self.num_habs, self.window_size,
-                     self.num_heads, name=f"group{g}")(x)
+                     self.num_heads, dtype, name=f"group{g}")(x)
         x = nn.Conv(self.channels, (3, 3), padding=((1, 1), (1, 1)),
-                    kernel_init=kaiming_conv_init, name="conv_after_body")(x)
+                    dtype=dtype, kernel_init=kaiming_conv_init,
+                    name="conv_after_body")(x)
         x = x + body_in
 
         for i in range(up // 2):
             x = nn.Conv(self.channels * 4, (3, 3), padding=((1, 1), (1, 1)),
-                        kernel_init=kaiming_conv_init, name=f"up_conv{i}")(x)
+                        dtype=dtype, kernel_init=kaiming_conv_init,
+                        name=f"up_conv{i}")(x)
             x = pixel_shuffle(x, 2)
 
         x = nn.Conv(self.out_channels, (3, 3), padding=((1, 1), (1, 1)),
-                    kernel_init=kaiming_conv_init, name="exit")(x)
+                    dtype=dtype, kernel_init=kaiming_conv_init,
+                    name="exit")(x)
         return x + residual

@@ -74,12 +74,14 @@ def pam_flash_forward(
     q: jnp.ndarray,
     k: jnp.ndarray,
     v: jnp.ndarray,
-    block_q: int = 256,
-    block_k: int = 512,
+    block_q: int = 512,
+    block_k: int = 1024,
     interpret: bool = False,
 ) -> jnp.ndarray:
     """q,k: (B,N,d); v: (B,N,C) -> (B,N,C). Forward only (VJP routed through
-    the XLA-blocked implementation in ops/attention.py)."""
+    the XLA-blocked implementation in ops/attention.py). Block defaults
+    tuned on v5e at N=15840, the 0.05deg-path token count: (512,1024)
+    -> 3.34 ms vs best XLA-blocked 3.77 ms."""
     b, n, d = q.shape
     c = v.shape[-1]
     if k.shape[1] != n or v.shape[1] != n:

@@ -99,3 +99,18 @@ def test_scale_invariant_runs_at_two_resolutions():
     y128 = m.apply(v, jnp.zeros((1, 128, 128, 1)), train=False)
     assert y64.shape == (1, 64, 64, 1)
     assert y128.shape == (1, 128, 128, 1)  # same weights, both scales
+
+
+def test_hat_bfloat16_compute_path(rng):
+    h32 = HAT(in_channels=8, channels=16, num_groups=1, num_habs=1,
+              window_size=4, num_heads=2)
+    h16 = HAT(in_channels=8, channels=16, num_groups=1, num_habs=1,
+              window_size=4, num_heads=2, dtype="bfloat16")
+    x = jnp.asarray(rng.standard_normal((2, 8, 10, 8)), jnp.float32)
+    variables = h32.init(jax.random.PRNGKey(0), x)
+    y32 = h32.apply(variables, x)
+    y16 = h16.apply(variables, x)
+    assert y16.dtype == jnp.bfloat16
+    assert jnp.isfinite(y16.astype(jnp.float32)).all()
+    np.testing.assert_allclose(np.asarray(y16, np.float32), np.asarray(y32),
+                               rtol=0.1, atol=0.2)
