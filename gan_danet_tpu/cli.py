@@ -160,6 +160,47 @@ def cmd_ae(args) -> int:
     return 0
 
 
+def cmd_diffusion(args) -> int:
+    """Latent-diffusion SR variant (the intent of the reference's
+    LFS-stripped Diffusion+Model.ipynb): raster-conditioned DDPM over the
+    0.25deg TWSA field, conditioned on the aux stack."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from gan_danet_tpu.data.pipeline import load_or_build_cache
+    from gan_danet_tpu.models.diffusion import DiffusionConfig, LatentDiffusion
+
+    cfg = _load_config(args)
+    ([_, _], [lr025, _], hr_aux, *_rest) = load_or_build_cache(
+        cfg.data, augmented=False)
+    h, w = lr025.shape[1:3]
+    # latent factor 2 => even dims required; crop to the nearest multiple
+    h -= h % 4
+    w -= w % 4
+    img = lr025[..., None].astype(np.float32)[:, :h, :w]
+    cond = hr_aux.astype(np.float32)[:, :h, :w]
+
+    dcfg = DiffusionConfig(cond_channels=cond.shape[-1], grad_accum=1,
+                           num_inference_steps=args.steps)
+    ld = LatentDiffusion(dcfg, sample_image_hw=(h, w),
+                         sample_cond_shape=(1, h, w, cond.shape[-1]))
+    bs = args.batch_size or 4
+    epochs = args.epochs or 1
+    losses = []
+    for _ in range(epochs):
+        for i in range(0, img.shape[0] - bs + 1, bs):
+            losses.append(ld.train_batch(jnp.asarray(img[i:i + bs]),
+                                         jnp.asarray(cond[i:i + bs])))
+    sample = ld.generate(jnp.asarray(cond[:1]), image_hw=(h, w),
+                         num_inference_steps=args.steps)
+    out = Path(args.out or "diffusion_out")
+    out.mkdir(parents=True, exist_ok=True)
+    np.save(out / "diffusion_sample.npy", np.asarray(sample))
+    print(json.dumps({"out_dir": str(out), "final_loss": losses[-1],
+                      "steps_trained": len(losses)}))
+    return 0
+
+
 def cmd_bench(args) -> int:
     del args
     import bench
@@ -184,7 +225,8 @@ def main(argv=None) -> int:
 
     for name, fn in [("data", cmd_data), ("train", cmd_train),
                      ("ensemble", cmd_ensemble), ("infer", cmd_infer),
-                     ("ae", cmd_ae), ("bench", cmd_bench)]:
+                     ("ae", cmd_ae), ("diffusion", cmd_diffusion),
+                     ("bench", cmd_bench)]:
         p = sub.add_parser(name)
         common(p)
         p.set_defaults(fn=fn)
@@ -197,6 +239,9 @@ def main(argv=None) -> int:
         if name in ("train", "infer"):
             p.add_argument("--model", choices=["danet", "hat"],
                            default="danet")
+        if name == "diffusion":
+            p.add_argument("--steps", type=int, default=50,
+                           help="DDPM inference steps")
 
     args = parser.parse_args(argv)
     return args.fn(args)
