@@ -62,18 +62,26 @@ def make_train_step(
         x = build_inputs(batch, coarse_hw).astype(compute_dtype)
         real = batch["lr025"].astype(compute_dtype)
 
-        # --- G forward once (no grad): fake for the D step + BN stats ---
-        fake, mutated = generator.apply(
-            {"params": state.g_params, "batch_stats": state.g_batch_stats},
-            x, train=True, mutable=["batch_stats"],
-        )
-        new_g_stats = mutated["batch_stats"]
-        fake = jax.lax.stop_gradient(fake)
+        # --- G forward ONCE via vjp: the same `fake` feeds the D update
+        # (detached) and the G update (gradients pulled back through the
+        # saved linearisation) — exactly the reference's reuse of one
+        # autograd graph, and one full G forward cheaper than re-running
+        # the generator inside the G loss. ---
+        def gen_fwd(g_params):
+            out, mutated = generator.apply(
+                {"params": g_params, "batch_stats": state.g_batch_stats},
+                x, train=True, mutable=["batch_stats"],
+            )
+            return out, mutated["batch_stats"]
 
-        # --- D update ---
+        fake, gen_vjp, new_g_stats = jax.vjp(gen_fwd, state.g_params,
+                                             has_aux=True)
+
+        # --- D update (fake detached) ---
         def d_loss_fn(d_params):
             real_logits = discriminator.apply({"params": d_params}, real)
-            fake_logits = discriminator.apply({"params": d_params}, fake)
+            fake_logits = discriminator.apply(
+                {"params": d_params}, jax.lax.stop_gradient(fake))
             return discriminator_loss(real_logits, fake_logits)
 
         loss_d, d_grads = jax.value_and_grad(d_loss_fn)(state.d_params)
@@ -82,18 +90,15 @@ def make_train_step(
         new_d_params = optax.apply_updates(state.d_params, d_updates)
 
         # --- G update against the updated D (reference ordering) ---
-        def g_loss_fn(g_params):
-            gen_out, _ = generator.apply(
-                {"params": g_params, "batch_stats": state.g_batch_stats},
-                x, train=True, mutable=["batch_stats"],
-            )
-            fake_logits = discriminator.apply({"params": new_d_params}, gen_out)
-            total, aux = g_loss(fake_logits, gen_out.astype(jnp.float32),
+        def g_loss_from_fake(fake_):
+            fake_logits = discriminator.apply({"params": new_d_params}, fake_)
+            total, aux = g_loss(fake_logits, fake_.astype(jnp.float32),
                                 real.astype(jnp.float32), loss_weight)
             return total, aux
 
-        (loss_g, aux), g_grads = jax.value_and_grad(g_loss_fn, has_aux=True)(
-            state.g_params)
+        (loss_g, aux), fake_grad = jax.value_and_grad(
+            g_loss_from_fake, has_aux=True)(fake)
+        (g_grads,) = gen_vjp(fake_grad)
         g_updates, new_g_opt = g_tx.update(g_grads, state.g_opt_state,
                                            state.g_params)
         new_g_params = optax.apply_updates(state.g_params, g_updates)
