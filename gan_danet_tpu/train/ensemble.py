@@ -185,6 +185,52 @@ class EnsembleTrainer:
             out["r2"] = 1.0 - ss_res / ss_tot if ss_tot > 0 else np.nan
         return out
 
+    def save_members(self, directory) -> list:
+        """Per-member generator weights, one file per member — the
+        reference's ensemble_models/best_model_member_{i}.pth layout
+        (deep_ensemble.ipynb:340), as flattened npz."""
+        from pathlib import Path
+
+        from gan_danet_tpu.core.checkpoint import save_params
+
+        d = Path(directory)
+        d.mkdir(parents=True, exist_ok=True)
+        paths = []
+        params = jax.device_get(self.state.g_params)
+        stats = jax.device_get(self.state.g_batch_stats)
+        for i in range(self.num_ensemble):
+            member = {
+                "params": jax.tree.map(lambda x: x[i], params),
+                "batch_stats": jax.tree.map(lambda x: x[i], stats),
+            }
+            p = d / f"best_model_member_{i}.npz"
+            save_params(p, member)
+            paths.append(str(p))
+        return paths
+
+    def load_members(self, directory) -> None:
+        """Restore member-stacked generator weights saved by save_members
+        (the reference's load_ensemble_models equivalent)."""
+        from pathlib import Path
+
+        from gan_danet_tpu.core.checkpoint import load_params
+
+        d = Path(directory)
+        template = {
+            "params": jax.tree.map(lambda x: np.asarray(x[0]),
+                                   jax.device_get(self.state.g_params)),
+            "batch_stats": jax.tree.map(lambda x: np.asarray(x[0]),
+                                        jax.device_get(self.state.g_batch_stats)),
+        }
+        members = [load_params(d / f"best_model_member_{i}.npz", template)
+                   for i in range(self.num_ensemble)]
+        stacked_p = jax.tree.map(lambda *xs: jnp.stack(xs),
+                                 *[m["params"] for m in members])
+        stacked_s = jax.tree.map(lambda *xs: jnp.stack(xs),
+                                 *[m["batch_stats"] for m in members])
+        self.state = self.state.replace(g_params=stacked_p,
+                                        g_batch_stats=stacked_s)
+
     def save_artifacts(self, directory, results: Dict[str, np.ndarray]) -> None:
         """ensemble_mean_predictions.npy / ensemble_uncertainty*.npy /
         ensemble_trues.npy producer (reference main(), cell 0)."""
