@@ -96,6 +96,7 @@ def cmd_ensemble(args) -> int:
     results = ens.compute_uncertainty(preds, mask=mask)
     out = Path(args.out or "ensemble_out")
     ens.save_artifacts(out, results)
+    ens.save_members(out / "ensemble_models")
     print(json.dumps({"out_dir": str(out), "members": args.members,
                       "uncertainty_mean": float(np.nanmean(results["uncertainty"]))}))
     return 0

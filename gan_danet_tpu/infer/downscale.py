@@ -94,7 +94,8 @@ def predict_025(
     @jax.jit
     def step(batch):
         x = build_inputs(batch, coarse_hw)
-        pred = apply_fn(x)
+        # post-processing in f32 regardless of the model's compute dtype
+        pred = apply_fn(x).astype(jnp.float32)
         return batched_histogram_match(pred, batch["lr025"], hist_weight)
 
     ds = ArrayDataset(lr05, lr025, hr_aux)
@@ -170,7 +171,7 @@ def predict_005(
     @jax.jit
     def step(batch):
         xin = jnp.concatenate([batch["lr025"], batch["aux"]], axis=-1)
-        pred = apply_fn(xin)                          # (B, 4H, 4W, 1)
+        pred = apply_fn(xin).astype(jnp.float32)      # (B, 4H, 4W, 1)
         pred = resize2d(pred, (h005, w005), "bicubic")
         pred = batched_histogram_match(pred, batch["lr025"], hist_weight)
         hr_grace = resize2d(batch["lr025"], (4 * h25, 4 * w25), "bicubic")

@@ -90,14 +90,13 @@ class EnsembleTrainer:
 
         for epoch in range(tc.epochs):
             lw = jnp.float32(epoch / tc.epochs)
-            sums = np.zeros(n_members)
-            n_batches = 0
+            # device-resident per-step metrics; one host sync per epoch
+            step_losses = []
             for batch in self.base.train_loader:
                 batch = jax.tree.map(jnp.asarray, batch)
                 self.state, metrics = self._ensemble_step(self.state, batch, lw)
-                sums += np.asarray(metrics["loss_g"])
-                n_batches += 1
-            avg = sums / n_batches
+                step_losses.append(metrics["loss_g"])
+            avg = np.mean(jax.device_get(step_losses), axis=0)
             history.append(avg)
             self.logger.log("ensemble_epoch", epoch=epoch,
                             loss_g_mean=float(avg.mean()))

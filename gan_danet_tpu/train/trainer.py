@@ -126,6 +126,42 @@ class ModelTrainer:
         self.best_params = None
         self.best_batch_stats = None
 
+        # Device-resident epoch scan: the whole training split lives in HBM
+        # and an epoch compiles to ONE program (scan over gathered batches).
+        # Per-batch host->device copies + dispatch dominate wall time on
+        # remote/tunneled TPUs (measured 1.37 s/step wall vs 19 ms compute).
+        self._dev_train = None
+        augment = tc.augment
+        step_raw = self._train_step.raw
+
+        def epoch_fn(state, data, idx_batches, loss_weight, aug_key):
+            def body(carry, idx):
+                st, key = carry
+                batch = {k: jnp.take(v, idx, axis=0) for k, v in data.items()}
+                if augment:
+                    key, k = jax.random.split(key)
+                    batch = apply_augmentation(batch, k)
+                st, metrics = step_raw(st, batch, loss_weight)
+                return (st, key), (metrics["loss_g"], metrics["loss_d"])
+
+            (state, _), (gs, ds) = jax.lax.scan(body, (state, aug_key),
+                                                idx_batches)
+            return state, gs.mean(), ds.mean()
+
+        self._epoch_fn = jax.jit(epoch_fn)
+
+    # ------------------------------------------------------------------
+    def _epoch_indices(self) -> np.ndarray:
+        """(n_batches, batch_size) gather indices reproducing Batcher
+        semantics (shuffle + wrap-around final batch)."""
+        loader = self.train_loader
+        n = len(loader.dataset)
+        order = (loader._rng.permutation(n) if loader.shuffle
+                 else np.arange(n))
+        total = len(loader) * loader.batch_size
+        return np.resize(order, total).reshape(len(loader),
+                                               loader.batch_size).astype(np.int32)
+
     # ------------------------------------------------------------------
     def train(self):
         tc = self.config.train
@@ -133,23 +169,22 @@ class ModelTrainer:
         best_loss = float("inf")
         trigger = 0
 
+        if self._dev_train is None:
+            ds = self.train_ds
+            self._dev_train = {
+                "lr05": jnp.asarray(ds.lr_grace_05[..., None]),
+                "lr025": jnp.asarray(ds.lr_grace_025[..., None]),
+                "aux": jnp.asarray(ds.hr_aux),
+            }
+
         for epoch in range(tc.epochs):
             loss_weight = jnp.float32(epoch / tc.epochs)
-            epoch_g = epoch_d = 0.0
-            n_batches = 0
-            for batch in self.train_loader:
-                batch = jax.tree.map(jnp.asarray, batch)
-                if tc.augment:
-                    self._aug_key, k = jax.random.split(self._aug_key)
-                    batch = apply_augmentation(batch, k)
-                self.state, metrics = self._train_step(self.state, batch,
-                                                       loss_weight)
-                epoch_g += float(metrics["loss_g"])
-                epoch_d += float(metrics["loss_d"])
-                n_batches += 1
-
-            avg_g = epoch_g / n_batches
-            avg_d = epoch_d / n_batches
+            self._aug_key, ek = jax.random.split(self._aug_key)
+            idx = jnp.asarray(self._epoch_indices())
+            self.state, avg_g_dev, avg_d_dev = self._epoch_fn(
+                self.state, self._dev_train, idx, loss_weight, ek)
+            avg_g = float(avg_g_dev)
+            avg_d = float(avg_d_dev)
             losses_g.append(avg_g)
             losses_d.append(avg_d)
             self.logger.log("epoch", epoch=epoch, loss_d=avg_d, loss_g=avg_g)
