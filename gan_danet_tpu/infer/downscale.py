@@ -26,7 +26,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from gan_danet_tpu.data.dataset import ArrayDataset, Batcher
+
 from gan_danet_tpu.data.scalers import as_scaler_stats
 from gan_danet_tpu.infer import export as exp
 from gan_danet_tpu.infer.blend import smooth_blend
@@ -50,6 +50,24 @@ def make_apply_fn(generator, params, batch_stats=None):
         return generator.apply(variables, x, train=False)
 
     return apply_fn
+
+
+def _scan_batches(step, arrs, n: int, batch_size: int) -> np.ndarray:
+    """Run `step` over the whole (device-resident) series as ONE scanned
+    program: per-batch Python dispatch + host->device copies dominate wall
+    time on remote TPUs. Wrap-around padding mirrors Batcher; returns the
+    de-padded (T, H, W) stack on host."""
+    nb = -(-n // batch_size)
+    idx = jnp.asarray(np.resize(np.arange(n), nb * batch_size)
+                      .reshape(nb, batch_size))
+
+    def body(_, ids):
+        batch = {k: jnp.take(v, ids, axis=0) for k, v in arrs.items()}
+        return None, step(batch)
+
+    _, outs = jax.lax.scan(body, None, idx)           # (nb, B, H, W, 1)
+    outs = np.asarray(outs)
+    return outs.reshape(-1, *outs.shape[2:4])[:n]
 
 
 def _zoom(arr: np.ndarray, factors, order: int = 3) -> np.ndarray:
@@ -91,24 +109,16 @@ def predict_025(
     h25, w25 = lr025.shape[1:3]
     coarse_hw = (h25 // 4, w25 // 4)
 
-    @jax.jit
     def step(batch):
         x = build_inputs(batch, coarse_hw)
         # post-processing in f32 regardless of the model's compute dtype
         pred = apply_fn(x).astype(jnp.float32)
         return batched_histogram_match(pred, batch["lr025"], hist_weight)
 
-    ds = ArrayDataset(lr05, lr025, hr_aux)
-    loader = Batcher(ds, batch_size)
-    n = len(ds)
-    outs, seen = [], 0
-    for batch in loader:
-        batch = jax.tree.map(jnp.asarray, batch)
-        pred = step(batch)
-        take = min(pred.shape[0], n - seen)
-        outs.append(np.asarray(pred)[:take, ..., 0])
-        seen += take
-    res = np.concatenate(outs)                       # (T, H, W) standardized
+    arrs = {"lr05": jnp.asarray(lr05[..., None]),
+            "lr025": jnp.asarray(lr025[..., None]),
+            "aux": jnp.asarray(hr_aux)}
+    res = _scan_batches(step, arrs, lr05.shape[0], batch_size)
 
     res = res + trend25
     truth = lr025 + trend25
@@ -168,7 +178,6 @@ def predict_005(
         blend_region = (0, h25 // 2, 0, w25 // 2)
     h005, w005 = 5 * h25, 5 * w25
 
-    @jax.jit
     def step(batch):
         xin = jnp.concatenate([batch["lr025"], batch["aux"]], axis=-1)
         pred = apply_fn(xin).astype(jnp.float32)      # (B, 4H, 4W, 1)
@@ -177,18 +186,9 @@ def predict_005(
         hr_grace = resize2d(batch["lr025"], (4 * h25, 4 * w25), "bicubic")
         return smooth_blend(pred, hr_grace, blend_region, blend_sigma)
 
-    ds = ArrayDataset(np.zeros_like(lr025)[:, : h25 // 2, : w25 // 2],
-                      lr025, hr_aux)
-    loader = Batcher(ds, batch_size)
-    n = len(ds)
-    outs, seen = [], 0
-    for batch in loader:
-        batch = jax.tree.map(jnp.asarray, batch)
-        pred = step(batch)
-        take = min(pred.shape[0], n - seen)
-        outs.append(np.asarray(pred)[:take, ..., 0])
-        seen += take
-    res = np.concatenate(outs)                        # (T, H005, W005)
+    arrs = {"lr025": jnp.asarray(lr025[..., None]),
+            "aux": jnp.asarray(hr_aux)}
+    res = _scan_batches(step, arrs, lr025.shape[0], batch_size)
 
     trend_ups = _zoom(trend25, (1, 5, 5), order=3)
     res = res + trend_ups

@@ -79,6 +79,25 @@ class EnsembleTrainer:
         self._ensemble_eval = jax.jit(jax.vmap(eval_single,
                                                in_axes=(0, 0, None)))
 
+        # single-device fast path: whole-epoch lax.scan over on-device
+        # batch gathers (same rationale as ModelTrainer._epoch_fn); the
+        # mesh path keeps per-batch dispatch (used by the multichip dryrun)
+        self._dev_train = None
+        if mesh is None:
+            def epoch_fn(state, data, idx_batches, loss_weight):
+                def body(st, idx):
+                    batch = {k: jnp.take(v, idx, axis=0)
+                             for k, v in data.items()}
+                    st, metrics = vmapped(st, batch, loss_weight)
+                    return st, metrics["loss_g"]
+
+                state, gs = jax.lax.scan(body, state, idx_batches)
+                return state, gs.mean(axis=0)          # (members,)
+
+            self._epoch_fn = jax.jit(epoch_fn)
+        else:
+            self._epoch_fn = None
+
     # ------------------------------------------------------------------
     def train_ensemble(self):
         tc = self.config.train
@@ -88,15 +107,30 @@ class EnsembleTrainer:
         best_stats = None
         history = []
 
+        if self._epoch_fn is not None and self._dev_train is None:
+            ds = self.base.train_ds
+            self._dev_train = {
+                "lr05": jnp.asarray(ds.lr_grace_05[..., None]),
+                "lr025": jnp.asarray(ds.lr_grace_025[..., None]),
+                "aux": jnp.asarray(ds.hr_aux),
+            }
+
         for epoch in range(tc.epochs):
             lw = jnp.float32(epoch / tc.epochs)
-            # device-resident per-step metrics; one host sync per epoch
-            step_losses = []
-            for batch in self.base.train_loader:
-                batch = jax.tree.map(jnp.asarray, batch)
-                self.state, metrics = self._ensemble_step(self.state, batch, lw)
-                step_losses.append(metrics["loss_g"])
-            avg = np.mean(jax.device_get(step_losses), axis=0)
+            if self._epoch_fn is not None:
+                idx = jnp.asarray(self.base._epoch_indices())
+                self.state, avg_dev = self._epoch_fn(self.state,
+                                                     self._dev_train, idx, lw)
+                avg = np.asarray(avg_dev)
+            else:
+                # device-resident per-step metrics; one host sync per epoch
+                step_losses = []
+                for batch in self.base.train_loader:
+                    batch = jax.tree.map(jnp.asarray, batch)
+                    self.state, metrics = self._ensemble_step(self.state,
+                                                              batch, lw)
+                    step_losses.append(metrics["loss_g"])
+                avg = np.mean(jax.device_get(step_losses), axis=0)
             history.append(avg)
             self.logger.log("ensemble_epoch", epoch=epoch,
                             loss_g_mean=float(avg.mean()))
