@@ -68,6 +68,7 @@ class DANetAttention(nn.Module):
     pam_reduction: int = 8
     pam_impl: str = "auto"
     dtype: jnp.dtype = jnp.float32
+    norm: str = "batch"
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = True) -> jnp.ndarray:
@@ -78,8 +79,12 @@ class DANetAttention(nn.Module):
         y = nn.Conv(self.channels, (3, 3), padding=((1, 1), (1, 1)), use_bias=False,
                     dtype=self.dtype, kernel_init=kaiming_conv_init,
                     name="fuse_conv")(y)
-        y = nn.BatchNorm(use_running_average=not train, momentum=0.9,
-                         epsilon=1e-5, dtype=self.dtype, name="fuse_bn")(y)
+        if self.norm == "group":
+            y = nn.GroupNorm(num_groups=8, epsilon=1e-5, dtype=self.dtype,
+                             name="fuse_bn")(y)
+        else:
+            y = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                             epsilon=1e-5, dtype=self.dtype, name="fuse_bn")(y)
         return nn.relu(y)
 
 
@@ -124,6 +129,7 @@ def build_attention(
     pam_reduction: int = 8,
     pam_impl: str = "auto",
     dtype: jnp.dtype = jnp.float32,
+    norm: str = "batch",
     name: Optional[str] = None,
 ):
     """Map attention-type string to a module. 'senet' and 'cbam' alias to
@@ -140,5 +146,5 @@ def build_attention(
                 RuntimeWarning,
             )
         return DANetAttention(channels, pam_reduction, pam_impl, dtype,
-                              name=name)
+                              norm, name=name)
     raise ValueError(f"Unsupported attention type: {attention_type}")

@@ -34,8 +34,14 @@ def resolve_dtype(name: str):
     return jnp.bfloat16 if name in ("bfloat16", "bf16") else jnp.float32
 
 
-def _bn(train: bool, name: str, dtype=jnp.float32) -> nn.BatchNorm:
-    # flax computes the batch statistics in float32 regardless of dtype
+def _bn(train: bool, name: str, dtype=jnp.float32, norm: str = "batch"):
+    """Normalisation layer: 'batch' (reference semantics — per-device batch
+    stats, momentum 0.9) or 'group' (8 groups; batch-size independent, no
+    running stats — the config-flagged alternative from SURVEY.md §7).
+    flax computes the statistics in float32 regardless of compute dtype."""
+    if norm == "group":
+        return nn.GroupNorm(num_groups=8, epsilon=1e-5, dtype=dtype,
+                            name=name)
     return nn.BatchNorm(use_running_average=not train, momentum=0.9,
                         epsilon=1e-5, dtype=dtype, name=name)
 
@@ -63,10 +69,11 @@ class DenseLayer(nn.Module):
 
     growth_rate: int
     dtype: jnp.dtype = jnp.float32
+    norm: str = "batch"
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = True) -> jnp.ndarray:
-        y = _bn(train, "bn", self.dtype)(x)
+        y = _bn(train, "bn", self.dtype, self.norm)(x)
         y = nn.relu(y)
         y = nn.Conv(self.growth_rate, (3, 3), padding=((1, 1), (1, 1)),
                     dtype=self.dtype, kernel_init=kaiming_conv_init,
@@ -78,11 +85,12 @@ class DenseBlock(nn.Module):
     num_layers: int
     growth_rate: int
     dtype: jnp.dtype = jnp.float32
+    norm: str = "batch"
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = True) -> jnp.ndarray:
         for i in range(self.num_layers):
-            x = DenseLayer(self.growth_rate, self.dtype,
+            x = DenseLayer(self.growth_rate, self.dtype, self.norm,
                            name=f"layer{i}")(x, train)
         return x
 
@@ -92,10 +100,11 @@ class TransitionLayer(nn.Module):
 
     out_channels: int
     dtype: jnp.dtype = jnp.float32
+    norm: str = "batch"
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = True) -> jnp.ndarray:
-        y = _bn(train, "bn", self.dtype)(x)
+        y = _bn(train, "bn", self.dtype, self.norm)(x)
         y = nn.relu(y)
         return nn.Conv(self.out_channels, (1, 1), dtype=self.dtype,
                        kernel_init=kaiming_conv_init, name="conv")(y)
@@ -115,7 +124,7 @@ class FlexibleUpsamplingModule(nn.Module):
         x = nn.Conv(cfg.base_channels, (3, 3), padding=((1, 1), (1, 1)),
                     use_bias=False, dtype=dtype, kernel_init=kaiming_conv_init,
                     name="initial_conv")(x)
-        x = _bn(train, "initial_bn", dtype)(x)
+        x = _bn(train, "initial_bn", dtype, cfg.norm)(x)
         x = nn.relu(x)
 
         num_features = cfg.base_channels
@@ -123,13 +132,14 @@ class FlexibleUpsamplingModule(nn.Module):
         skips: List[jnp.ndarray] = []
         for block_idx in range(cfg.num_blocks):
             x = DenseBlock(cfg.num_layers_per_block, cfg.growth_rate,
-                           dtype, name=f"dense_block{block_idx}")(x, train)
+                           dtype, cfg.norm,
+                           name=f"dense_block{block_idx}")(x, train)
             num_features += cfg.num_layers_per_block * cfg.growth_rate
 
             attention = build_attention(
                 cfg.attention_type, num_features, cfg.pam_reduction,
                 "auto" if cfg.use_pallas_attention else "xla",
-                dtype=dtype, name=f"attention{block_idx}",
+                dtype=dtype, norm=cfg.norm, name=f"attention{block_idx}",
             )
             if attention is not None:
                 x = attention(x, train)
@@ -138,7 +148,7 @@ class FlexibleUpsamplingModule(nn.Module):
 
             if block_idx != cfg.num_blocks - 1:
                 num_features //= 2
-                x = TransitionLayer(num_features, dtype,
+                x = TransitionLayer(num_features, dtype, cfg.norm,
                                     name=f"transition{block_idx}")(x, train)
 
         # upsample head: Conv-BN-ReLU, bicubic x2, Conv-BN-ReLU, bicubic x2
@@ -146,13 +156,13 @@ class FlexibleUpsamplingModule(nn.Module):
         x = nn.Conv(cfg.base_channels, (3, 3), padding=((1, 1), (1, 1)),
                     use_bias=False, dtype=dtype, kernel_init=kaiming_conv_init,
                     name="up_conv0")(x)
-        x = _bn(train, "up_bn0", dtype)(x)
+        x = _bn(train, "up_bn0", dtype, cfg.norm)(x)
         x = nn.relu(x)
         x = resize2d(x, (2 * h_in, 2 * w_in), "bicubic")
         x = nn.Conv(cfg.base_channels, (3, 3), padding=((1, 1), (1, 1)),
                     use_bias=False, dtype=dtype, kernel_init=kaiming_conv_init,
                     name="up_conv1")(x)
-        x = _bn(train, "up_bn1", dtype)(x)
+        x = _bn(train, "up_bn1", dtype, cfg.norm)(x)
         x = nn.relu(x)
         x = resize2d(x, (4 * h_in, 4 * w_in), "bicubic")
 

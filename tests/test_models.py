@@ -154,3 +154,23 @@ def test_generator_bfloat16_compute_path(rng):
                                rtol=0.1, atol=0.15)
     p32 = jax.tree_util.tree_leaves(variables["params"])[0]
     assert p32.dtype == jnp.float32
+
+
+def test_generator_groupnorm_option(rng):
+    """norm='group': batch-size-independent normalisation, no BN running
+    stats collected (SURVEY.md §7 config-flagged alternative)."""
+    from gan_danet_tpu.core.config import GeneratorConfig
+    from gan_danet_tpu.models.generator import FlexibleUpsamplingModule
+
+    cfg = GeneratorConfig(input_channels=8, num_blocks=2,
+                          num_layers_per_block=2, growth_rate=8,
+                          use_pallas_attention=False, norm="group")
+    g = FlexibleUpsamplingModule(cfg)
+    x = jnp.asarray(rng.standard_normal((2, 8, 10, 8)), jnp.float32)
+    variables = g.init(jax.random.PRNGKey(0), x, train=True)
+    assert "batch_stats" not in variables
+    y = g.apply(variables, x, train=True)
+    assert y.shape == (2, 32, 40, 1)
+    # group norm output is identical in train and eval mode
+    y2 = g.apply(variables, x, train=False)
+    np.testing.assert_allclose(np.asarray(y), np.asarray(y2), rtol=1e-6)
