@@ -163,8 +163,15 @@ class ModelTrainer:
                                                loader.batch_size).astype(np.int32)
 
     # ------------------------------------------------------------------
-    def train(self):
+    def train(self, start_epoch: Optional[int] = None):
+        """Run the training loop. `start_epoch=None` resumes from the
+        checkpointed step count (true mid-run resume — the curriculum
+        adversarial weight continues where it left off); pass 0 to force a
+        fresh run."""
         tc = self.config.train
+        if start_epoch is None:
+            steps_per_epoch = max(1, len(self.train_loader))
+            start_epoch = int(self.state.step) // steps_per_epoch
         losses_g, losses_d = [], []
         best_loss = float("inf")
         trigger = 0
@@ -177,7 +184,7 @@ class ModelTrainer:
                 "aux": jnp.asarray(ds.hr_aux),
             }
 
-        for epoch in range(tc.epochs):
+        for epoch in range(start_epoch, tc.epochs):
             loss_weight = jnp.float32(epoch / tc.epochs)
             self._aug_key, ek = jax.random.split(self._aug_key)
             idx = jnp.asarray(self._epoch_indices())

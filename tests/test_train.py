@@ -121,3 +121,20 @@ def test_train_step_sharded_over_mesh(tiny_data):
                                float(m_sharded["loss_g"]), rtol=1e-3)
     np.testing.assert_allclose(float(m_single["loss_d"]),
                                float(m_sharded["loss_d"]), rtol=1e-3)
+
+
+def test_checkpoint_resume_continues_epochs(tiny_data, tmp_path):
+    """Full-state resume: a fresh trainer restoring a mid-run checkpoint
+    continues from the recorded step count (curriculum weight included),
+    not from epoch 0."""
+    t1 = ModelTrainer(_tiny_experiment(epochs=2), data=tiny_data)
+    t1.train()                         # epochs 0..1 of an intended 4
+    path = t1.save_checkpoint(str(tmp_path))
+
+    t2 = ModelTrainer(_tiny_experiment(epochs=4), data=tiny_data)
+    t2.restore_checkpoint(path)
+    assert int(t2.state.step) == int(t1.state.step)
+    steps_per_epoch = max(1, len(t2.train_loader))
+    assert int(t2.state.step) // steps_per_epoch == 2
+    lg, _ = t2.train()                 # resumes at epoch 2 -> runs 2 more
+    assert len(lg) == 2
