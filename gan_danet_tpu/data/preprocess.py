@@ -62,12 +62,16 @@ def smooth_gldas_channels(hr_aux: np.ndarray, n_gldas: int, sigma: float = 3.0) 
     """Gaussian-smooth only the first `n_gldas` channels
     (reference datasets.py:430-437), all time steps at once via the matrix
     operators (the reference loops T x 36 scipy calls)."""
-    h, w = hr_aux.shape[1], hr_aux.shape[2]
-    gh = gaussian_matrix(h, sigma)
-    gw = gaussian_matrix(w, sigma)
-    gldas = hr_aux[..., :n_gldas].astype(np.float64)
-    sm = np.einsum("ah,thwc->tawc", gh, gldas)
-    sm = np.einsum("bw,tawc->tabc", gw, sm)
+    t, h, w = hr_aux.shape[:3]
+    gh = gaussian_matrix(h, sigma).astype(np.float32)
+    gw = gaussian_matrix(w, sigma).astype(np.float32)
+    gldas = hr_aux[..., :n_gldas].astype(np.float32)
+    c = gldas.shape[-1]
+    # batched BLAS matmuls (einsum loops these patterns ~10x slower)
+    sm = np.matmul(gh, gldas.reshape(t, h, w * c)).reshape(t, h, w, c)
+    sm = np.matmul(gw, np.ascontiguousarray(sm.transpose(0, 2, 1, 3))
+                   .reshape(t, w, h * c))
+    sm = sm.reshape(t, w, h, c).transpose(0, 2, 1, 3)
     out = np.concatenate([sm.astype(hr_aux.dtype), hr_aux[..., n_gldas:]], axis=-1)
     return out
 
@@ -84,17 +88,29 @@ def frequency_domain_augmentation(
     (reference datasets.py:318-347, including the quirk that negative
     indices wrap to the tail bins)."""
     rng = rng or np.random.default_rng()
-    freq = np.fft.fft(data, axis=axis)
-    n = freq.shape[axis]
-    # draw noise only for the perturbed bins (the reference allocates a
-    # full-cube normal draw and uses ~25/181 of it — ~1 GB per call wasted)
-    for idx in range(-seasonal_freq, seasonal_freq + 1):
-        if -n <= idx < n:
-            sl = [slice(None)] * data.ndim
-            sl[axis] = idx
-            freq[tuple(sl)] += rng.normal(scale=noise_level,
-                                          size=freq[tuple(sl)].shape)
-    return np.real(np.fft.ifft(freq, axis=axis)).astype(data.dtype)
+    n = data.shape[axis]
+    idxs = [i for i in range(-seasonal_freq, seasonal_freq + 1) if -n <= i < n]
+    if not idxs:
+        return np.array(data, copy=True)
+
+    moved = np.moveaxis(data, axis, 0)          # (n, ...rest)
+    rest_shape = moved.shape[1:]
+    noise = rng.normal(scale=noise_level,
+                       size=(len(idxs), int(np.prod(rest_shape))))
+
+    # DFT linearity: real(ifft(fft(x) + sparse)) == x + real(ifft(sparse)),
+    # and for REAL per-bin noise real(ifft) reduces to a cosine kernel —
+    # one (n, K) @ (K, rest) matmul instead of a full complex FFT
+    # roundtrip over the cube (which is ~20 GB of complex128 at the
+    # reference aux size).
+    t_idx = np.arange(n)[:, None]                       # (n, 1)
+    k = np.asarray([i % n for i in idxs])[None, :]      # (1, K)
+    kernel = np.cos(2.0 * np.pi * t_idx * k / n) / n    # (n, K)
+    # f32 matmul/add: f64 is ~17x slower on this host and the noise is
+    # O(0.1) — f32 rounding is far below the injected perturbation
+    delta = (kernel.astype(np.float32) @ noise.astype(np.float32))
+    out = moved.astype(np.float32) + delta.reshape((n,) + rest_shape)
+    return np.moveaxis(out, 0, axis).astype(data.dtype)
 
 
 def coordinate_channels(n_time: int, grid, lat_range, lon_range):

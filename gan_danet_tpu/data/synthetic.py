@@ -83,20 +83,24 @@ def make_synthetic_raw(config: DataConfig = DataConfig(), seed: int = 0) -> RawA
     grace_05 = grace_025.reshape(t, h05, 2, w05, 2).mean(axis=(2, 4))
     grace_05 += 0.3 * rng.standard_normal(grace_05.shape)
 
-    # aux channels: nonlinear views of the latent signal + independent noise
+    # aux channels: nonlinear views of the latent signal + independent
+    # noise (all float32 — float64 element ops are ~17x slower on the
+    # build hosts and precision is irrelevant for synthesized noise)
+    grace_f32 = grace_025.astype(np.float32)
+
     def aux_channel(strength, lag):
-        shifted = np.roll(grace_025, lag, axis=0)
-        noise = rng.standard_normal((t, h25, w25))
-        return strength * shifted + 2.0 * noise
+        shifted = np.roll(grace_f32, lag, axis=0)
+        noise = rng.standard_normal((t, h25, w25), dtype=np.float32)
+        return np.float32(strength) * shifted + np.float32(2.0) * noise
 
     gldas = np.stack(
         [aux_channel(rng.uniform(0.2, 0.9), int(rng.integers(0, 3)))
          for _ in range(36)], axis=-1
-    ).astype(np.float32)
+    )
     era5 = np.stack(
         [aux_channel(rng.uniform(0.3, 0.9), int(rng.integers(0, 2)))
          for _ in range(6)], axis=-1
-    ).astype(np.float32)
+    )
 
     dem = (4000.0 + 1500.0 * _correlated_field(rng, (h25, w25), 3.0)).astype(np.float32)
 

@@ -151,3 +151,25 @@ def test_augmentation_jittable(rng):
     out = jax.jit(apply_augmentation)(batch, jax.random.PRNGKey(0))
     assert out["lr05"].shape == batch["lr05"].shape
     assert out["aux"].shape == batch["aux"].shape
+
+
+def test_fft_augmentation_matches_explicit_fft_oracle(rng):
+    """The cosine-kernel fast path must equal the explicit
+    fft -> perturb bins -> real(ifft) construction."""
+    from gan_danet_tpu.data.preprocess import frequency_domain_augmentation
+
+    data = rng.standard_normal((48, 6, 7)).astype(np.float32)
+    seasonal_freq, noise_level, n = 12, 0.1, data.shape[0]
+
+    got = frequency_domain_augmentation(
+        data, seasonal_freq, noise_level, 0, np.random.default_rng(7))
+
+    # oracle: same draw sequence, explicit FFT route
+    oracle_rng = np.random.default_rng(7)
+    freq = np.fft.fft(data, axis=0)
+    for idx in range(-seasonal_freq, seasonal_freq + 1):
+        if -n <= idx < n:
+            freq[idx] += oracle_rng.normal(
+                scale=noise_level, size=freq[idx].size).reshape(freq[idx].shape)
+    want = np.real(np.fft.ifft(freq, axis=0)).astype(np.float32)
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
