@@ -256,7 +256,7 @@ def measure_detail() -> dict:
             _timeit(f, q, k, v, iters=10) * 1e3, 2)
 
     # AE baseline (config #3)
-    ae = Autoencoder()
+    ae = Autoencoder(dtype="bfloat16")
     x = jnp.asarray(rng.standard_normal((BATCH, H25, W25, N_AUX)), jnp.bfloat16)
     variables = jax.jit(ae.init)(jax.random.PRNGKey(0), x)
     dt = _timeit(ae.apply, variables, x)
@@ -264,7 +264,7 @@ def measure_detail() -> dict:
                        "samples_per_sec": round(BATCH / dt, 1)}
 
     # HAT baseline (config #4)
-    hat = HAT(in_channels=46)
+    hat = HAT(in_channels=46, dtype="bfloat16")
     x = jnp.asarray(rng.standard_normal((4, H25 // 4, W25 // 4, 46)),
                     jnp.bfloat16)
     variables = jax.jit(hat.init)(jax.random.PRNGKey(0), x)

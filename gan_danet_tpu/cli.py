@@ -65,7 +65,7 @@ def _make_generator(args, cfg):
     if getattr(args, "model", "danet") == "hat":
         from gan_danet_tpu.models.hat import HAT
 
-        return HAT(in_channels=cfg.data.n_aux + 1)
+        return HAT(in_channels=cfg.data.n_aux + 1, dtype=cfg.train.dtype)
     return None  # ModelTrainer builds the DANet generator
 
 
@@ -117,8 +117,6 @@ def _load_mask(cfg, args):
 
 
 def cmd_infer(args) -> int:
-    import jax.numpy as jnp
-
     from gan_danet_tpu.data.pipeline import load_or_build_cache
     from gan_danet_tpu.infer.downscale import predict_005, predict_025
     from gan_danet_tpu.train.trainer import ModelTrainer
@@ -127,10 +125,7 @@ def cmd_infer(args) -> int:
     data = load_or_build_cache(cfg.data, augmented=False)
     trainer = ModelTrainer(cfg, data=data, logger=_logger(args),
                            generator=_make_generator(args, cfg))
-    if args.checkpoint:
-        trainer.restore_checkpoint(args.checkpoint)
-    else:
-        trainer.restore_checkpoint()
+    trainer.restore_checkpoint(args.checkpoint or None)
 
     mask = _load_mask(cfg, args)
     out = args.out or "inference_out"
@@ -185,7 +180,7 @@ def cmd_diffusion(args) -> int:
                            num_inference_steps=args.steps)
     ld = LatentDiffusion(dcfg, sample_image_hw=(h, w),
                          sample_cond_shape=(1, h, w, cond.shape[-1]))
-    bs = args.batch_size or 4
+    bs = min(args.batch_size or 4, img.shape[0])
     epochs = args.epochs or 1
     losses = []
     for _ in range(epochs):
@@ -204,7 +199,20 @@ def cmd_diffusion(args) -> int:
 
 def cmd_bench(args) -> int:
     del args
-    import bench
+    try:
+        import bench
+    except ImportError:
+        # bench.py lives at the repo root, outside the package; locate it
+        # relative to the installed package for out-of-tree invocations
+        import importlib.util
+
+        path = Path(__file__).resolve().parent.parent / "bench.py"
+        if not path.exists():
+            print(json.dumps({"error": f"bench.py not found at {path}"}))
+            return 1
+        spec = importlib.util.spec_from_file_location("bench", path)
+        bench = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(bench)
 
     bench.main()
     return 0

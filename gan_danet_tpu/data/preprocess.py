@@ -83,13 +83,15 @@ def frequency_domain_augmentation(
     axis: int = 0,
     rng: np.random.Generator | None = None,
 ) -> np.ndarray:
-    """FFT along `axis`, add N(0, noise_level) real noise to the bins at
-    indices -seasonal_freq..+seasonal_freq, inverse FFT, take the real part
-    (reference datasets.py:318-347, including the quirk that negative
-    indices wrap to the tail bins)."""
+    """FFT along `axis`, add N(0, noise_level) real noise to the low
+    seasonal bins, inverse FFT, take the real part (reference
+    datasets.py:318-347). Faithful quirk: the reference iterates
+    -seasonal_freq..+seasonal_freq but guards with `0 <= idx`, so ONLY
+    bins 0..seasonal_freq are perturbed — negative (tail) bins are
+    skipped, and we reproduce that exactly."""
     rng = rng or np.random.default_rng()
     n = data.shape[axis]
-    idxs = [i for i in range(-seasonal_freq, seasonal_freq + 1) if -n <= i < n]
+    idxs = [i for i in range(-seasonal_freq, seasonal_freq + 1) if 0 <= i < n]
     if not idxs:
         return np.array(data, copy=True)
 

@@ -23,19 +23,23 @@ from gan_danet_tpu.models.initializers import kaiming_conv_init
 class Autoencoder(nn.Module):
     input_channels: int = 45
     output_channels: int = 1
+    dtype: str = "float32"             # compute dtype; params stay float32
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:  # (B,H,W,C) -> (B,H,W,1)
+        dtype = (jnp.bfloat16 if self.dtype in ("bfloat16", "bf16")
+                 else jnp.float32)
+        x = x.astype(dtype)
         for ch in (64, 32, 16):
-            x = nn.Conv(ch, (3, 3), padding=((1, 1), (1, 1)),
+            x = nn.Conv(ch, (3, 3), padding=((1, 1), (1, 1)), dtype=dtype,
                         kernel_init=kaiming_conv_init)(x)
             x = nn.relu(x)
         for ch in (32, 64):
-            x = nn.Conv(ch, (3, 3), padding=((1, 1), (1, 1)),
+            x = nn.Conv(ch, (3, 3), padding=((1, 1), (1, 1)), dtype=dtype,
                         kernel_init=kaiming_conv_init)(x)
             x = nn.relu(x)
         x = nn.Conv(self.output_channels, (3, 3), padding=((1, 1), (1, 1)),
-                    kernel_init=kaiming_conv_init)(x)
+                    dtype=dtype, kernel_init=kaiming_conv_init)(x)
         return nn.tanh(x)
 
 

@@ -164,11 +164,12 @@ def test_fft_augmentation_matches_explicit_fft_oracle(rng):
     got = frequency_domain_augmentation(
         data, seasonal_freq, noise_level, 0, np.random.default_rng(7))
 
-    # oracle: same draw sequence, explicit FFT route
+    # oracle: same draw sequence, explicit FFT route with the reference's
+    # `0 <= idx` guard (negative/tail bins are NOT perturbed)
     oracle_rng = np.random.default_rng(7)
     freq = np.fft.fft(data, axis=0)
     for idx in range(-seasonal_freq, seasonal_freq + 1):
-        if -n <= idx < n:
+        if 0 <= idx < n:
             freq[idx] += oracle_rng.normal(
                 scale=noise_level, size=freq[idx].size).reshape(freq[idx].shape)
     want = np.real(np.fft.ifft(freq, axis=0)).astype(np.float32)
