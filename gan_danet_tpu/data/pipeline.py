@@ -66,11 +66,18 @@ def load_data(config: DataConfig, raw: RawArrays | None = None):
                                        config.lon_range)
     dem_c = np.broadcast_to(raw.dem[None, :, :, None], (t, h25, w25, 1))
 
-    # ERA5-derived channel 0 (t2m) gets the inpainting pass in the
-    # reference (datasets.py:390, placeholder=100 quirk applies to qz_ht)
+    # ERA5-derived channel 0 (t2m, Kelvin) gets the inpainting pass in the
+    # reference with placeholder=100 (datasets.py:390) — any value <= 100 K
+    # is physically impossible and marks a fill site. NaNs from the NetCDF
+    # readers' invalid-value masking are inpainted by the same pass.
     era5 = np.array(raw.era5, copy=True)
     era5[..., 0:1] = fill_placeholder_with_nearest(era5[..., 0:1],
-                                                   placeholder=-9999)
+                                                   placeholder=100.0)
+    # remaining ERA5 channels are not inpainted by the reference (its .npy
+    # inputs are NaN-free); ours may carry reader NaNs — inpaint those only
+    if not np.isfinite(era5[..., 1:]).all():
+        era5[..., 1:] = fill_placeholder_with_nearest(era5[..., 1:],
+                                                      placeholder=-np.inf)
 
     hr_aux = np.concatenate(
         [raw.gldas, era5, lat_c, lon_c, dem_c], axis=-1

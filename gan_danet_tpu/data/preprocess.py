@@ -30,7 +30,13 @@ def fill_placeholder_with_nearest(
     """Normalised-convolution inpainting of placeholder pixels
     (reference datasets.py:222-250): gaussian-smooth the zero-filled field
     and the validity mask, divide, and substitute at placeholder sites.
-    Vectorised over (T, channels) using the gaussian matrix operators."""
+    Vectorised over (T, channels) using the gaussian matrix operators.
+
+    Beyond the reference: non-finite pixels (NaN/inf) are treated as
+    placeholders too. The reference loads pre-cleaned .npy inputs, but our
+    NetCDF readers mask invalid values to NaN (readers.py), and
+    ``NaN <= placeholder`` is False — without this, bad pixels would flow
+    into the StandardScaler and NaN the whole channel."""
     data = np.array(data, copy=True)
     squeeze = data.ndim == 3
     if squeeze:
@@ -39,7 +45,7 @@ def fill_placeholder_with_nearest(
     gh = gaussian_matrix(h, sigma)
     gw = gaussian_matrix(w, sigma)
 
-    mask_bad = data <= placeholder
+    mask_bad = (data <= placeholder) | ~np.isfinite(data)
     if not mask_bad.any():
         return data[..., 0] if squeeze else data
     filled = np.where(mask_bad, 0.0, data)

@@ -101,6 +101,11 @@ def make_synthetic_raw(config: DataConfig = DataConfig(), seed: int = 0) -> RawA
         [aux_channel(rng.uniform(0.3, 0.9), int(rng.integers(0, 2)))
          for _ in range(6)], axis=-1
     )
+    # t2m is 2m air temperature in Kelvin (like real ERA5), so the
+    # reference's placeholder=100 inpainting quirk (datasets.py:390) is
+    # meaningful: values <= 100 K mark fill sites. The offset is removed
+    # by per-channel standardisation, so downstream values are unchanged.
+    era5[..., 0] += np.float32(270.0)
 
     dem = (4000.0 + 1500.0 * _correlated_field(rng, (h25, w25), 3.0)).astype(np.float32)
 

@@ -105,6 +105,36 @@ def test_placeholder_inpainting(rng):
     assert np.allclose(filled[:, 0, 0], x[:, 0, 0])  # untouched elsewhere
 
 
+def test_placeholder_inpainting_handles_nan(rng):
+    """Reader-masked NaNs must be inpainted, not passed through (ADVICE r1:
+    NaN <= placeholder is False, so they used to survive into the scaler)."""
+    x = rng.standard_normal((4, 20, 24)).astype(np.float32) + 5.0
+    x[:, 5:8, 5:9] = np.nan
+    x[:, 10:12, 2:4] = -99999.0
+    filled = fill_placeholder_with_nearest(x, placeholder=-9999)
+    assert np.isfinite(filled).all()
+    assert filled.min() > -50
+    assert np.allclose(filled[:, 0, 0], x[:, 0, 0])
+
+
+def test_t2m_kelvin_placeholder_quirk():
+    """The reference inpaints t2m with placeholder=100 (datasets.py:390) —
+    values <= 100 K are fill sites. Inject cold placeholders + NaNs into
+    the synthetic Kelvin t2m channel and check the pipeline cleans them."""
+    cfg = tiny_config(24)
+    raw = make_synthetic_raw(cfg, seed=3)
+    assert raw.era5[..., 0].min() > 100.0  # synthetic t2m is in Kelvin
+    raw.era5[:, 3:5, 3:5, 0] = -32767.0    # classic fill value, <= 100 K
+    raw.era5[:, 8:9, 8:9, 0] = np.nan      # reader-masked invalid
+    raw.era5[:, 2:3, 2:3, 3] = np.nan      # NaN in a non-t2m ERA5 channel
+    ([d05, _], [d25, _], aux, *_s) = load_data(cfg, raw)
+    assert np.isfinite(aux).all()
+    assert np.isfinite(d05).all() and np.isfinite(d25).all()
+    # standardized t2m channel (index 36) should look standard, not blown up
+    t2m_std = aux[..., 36]
+    assert abs(t2m_std.mean()) < 0.1 and 0.5 < t2m_std.std() < 2.0
+
+
 def test_scaler_roundtrip(rng):
     x = 3.0 * rng.standard_normal((10, 5)) + 7.0
     s = StandardScaler()
