@@ -16,7 +16,9 @@ less dispatch overhead than the per-pixel loop.
 The algorithm follows Cleveland et al. (1990) with statsmodels' defaults:
 degree-1 loess everywhere, trend window = smallest odd int >=
 1.5*period/(1 - 1.5/seasonal), low-pass window = smallest odd int > period,
-2 inner iterations, 0 robustness iterations.
+5 inner iterations (statsmodels' non-robust default), 0 robustness
+iterations. Parity with an independent iterative Cleveland-1990 oracle is
+asserted in tests/test_stl_oracle.py (trend/seasonal agree to ~1e-5).
 
 The reconstruction invariant `trend + detrended == original` (which the
 reference verifies to 8.9e-16, test.ipynb cell 3) holds exactly by
@@ -45,7 +47,8 @@ def _loess_row(n: int, x: float, q: int, deg: int) -> np.ndarray:
     if q < n:
         lam = np.partition(d, q - 1)[q - 1]
     else:
-        lam = d.max() * q / n
+        # STL Fortran `stlest`: h = (dist to farthest point) + (len-n)/2
+        lam = d.max() + (q - n) / 2.0
     lam = max(lam, 1e-12)
     w = np.clip(1.0 - (d / lam) ** 3, 0.0, None) ** 3
     active = w > 0
@@ -57,6 +60,15 @@ def _loess_row(n: int, x: float, q: int, deg: int) -> np.ndarray:
 
     t = pos[active] - x
     wa = w[active]
+    if deg == 1:
+        # Fortran stlest degeneracy guard: with sum-normalized weights, if
+        # the weighted spread of positions is <= 0.001 * range, drop the
+        # slope term (degree 0)
+        wn = wa / wa.sum()
+        xbar = np.sum(wn * t)
+        c = np.sum(wn * (t - xbar) ** 2)
+        if np.sqrt(c) <= 1e-3 * max(n - 1, 1):
+            deg = 0
     if deg == 0:
         row_active = wa / wa.sum()
     else:
@@ -101,7 +113,7 @@ def stl_operator(
     seasonal: int = 13,
     trend: Optional[int] = None,
     low_pass: Optional[int] = None,
-    inner_iter: int = 2,
+    inner_iter: int = 5,
 ) -> Tuple[np.ndarray, np.ndarray]:
     """Precompute (A_trend, A_seasonal): (n, n) matrices such that
     trend = A_trend @ y and seasonal = A_seasonal @ y for any length-n
@@ -109,7 +121,6 @@ def stl_operator(
     if trend is None:
         trend = _next_odd(1.5 * period / (1.0 - 1.5 / seasonal))
     if low_pass is None:
-        low_pass = _next_odd(period + 1) if (period + 1) % 2 == 0 else period + 1
         low_pass = _next_odd(period + 0.5)  # smallest odd int > period
 
     p = period
