@@ -39,6 +39,15 @@ def _load_config(args) -> "ExperimentConfig":
         cfg = dataclasses.replace(
             cfg, train=dataclasses.replace(cfg.train,
                                            batch_size=args.batch_size))
+    if getattr(args, "vgg_weights", None):
+        cfg = dataclasses.replace(
+            cfg, loss=dataclasses.replace(cfg.loss,
+                                          vgg_weights_path=args.vgg_weights))
+    if cfg.loss.use_perceptual and not cfg.loss.vgg_weights_path:
+        print("warning: perceptual loss will use RANDOMLY INITIALISED "
+              "VGG19 features (the reference trains on pretrained VGG19); "
+              "pass --vgg-weights or set loss.vgg_weights_path",
+              file=sys.stderr)
     return cfg
 
 
@@ -92,8 +101,9 @@ def cmd_ensemble(args) -> int:
     ens = EnsembleTrainer(cfg, num_ensemble=args.members, logger=_logger(args))
     ens.train_ensemble()
     preds = ens.predict_ensemble()
+    trues = ens.collect_trues()
     mask = _load_mask(cfg, args)
-    results = ens.compute_uncertainty(preds, mask=mask)
+    results = ens.compute_uncertainty(preds, trues=trues, mask=mask)
     out = Path(args.out or "ensemble_out")
     ens.save_artifacts(out, results)
     ens.save_members(out / "ensemble_models")
@@ -243,6 +253,11 @@ def main(argv=None) -> int:
             p.add_argument("--no-augment", action="store_true")
         if name == "ensemble":
             p.add_argument("--members", type=int, default=5)
+        if name in ("train", "ensemble"):
+            p.add_argument("--vgg-weights", dest="vgg_weights",
+                           help="torch VGG19 .pth for the perceptual loss "
+                                "(random init + warning otherwise — the "
+                                "reference trains on pretrained VGG19)")
         if name == "infer":
             p.add_argument("--checkpoint")
         if name in ("train", "infer"):

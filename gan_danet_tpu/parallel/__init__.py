@@ -12,7 +12,7 @@ scaling axes are first-class:
     ensemble members simultaneously
   * bf16 compute with f32 params/BN stats (models' `dtype` knobs)
 
-See train/ensemble.py for the shard_map-wrapped ensemble train step and
+See parallel/spmd.py for the shard_map-wrapped ensemble train step and
 __graft_entry__.dryrun_multichip for the executable multi-chip example.
 """
 from gan_danet_tpu.core.meshes import (  # noqa: F401
@@ -24,3 +24,4 @@ from gan_danet_tpu.core.meshes import (  # noqa: F401
     make_mesh,
     replicated,
 )
+from gan_danet_tpu.parallel.spmd import make_ensemble_step  # noqa: F401

@@ -1,0 +1,38 @@
+"""SPMD wrappers: ensemble x data parallel composition over a 2-D mesh.
+
+The reference trains its 5 deep-ensemble members sequentially on one GPU
+(deep_ensemble.ipynb:322-340). TPU-native, the member axis is a parallelism
+axis: member-stacked params shard over 'ensemble' and each member's batch
+shards over 'data', so a v5e-8 trains 2 members x 4-way DP (or 8 members)
+in the wall time of one.
+"""
+from __future__ import annotations
+
+from typing import Callable
+
+import jax
+from jax.sharding import Mesh, PartitionSpec as P
+
+from gan_danet_tpu.core.meshes import ENSEMBLE_AXIS
+
+
+def make_ensemble_step(vmapped_step: Callable, mesh: Mesh) -> Callable:
+    """Wrap a member-vmapped train step for the ('ensemble','data') mesh.
+
+    Manual-SPMD over 'ensemble' (each shard trains its local members) while
+    'data' stays automatic so GSPMD inserts the batch-gradient allreduce
+    inside each member program (it rides ICI). Plain vmap+GSPMD fails here:
+    vmap folds the member axis into conv feature groups, which the
+    partitioner can't split — hence shard_map.
+
+    vmapped_step(states, batch, loss_weight) -> (states, metrics), with the
+    leading axis of `states`/metrics being the member axis.
+    """
+    return jax.jit(jax.shard_map(
+        vmapped_step,
+        mesh=mesh,
+        in_specs=(P(ENSEMBLE_AXIS), P(), P()),
+        out_specs=(P(ENSEMBLE_AXIS), P(ENSEMBLE_AXIS)),
+        axis_names={ENSEMBLE_AXIS},
+        check_vma=False,
+    ))

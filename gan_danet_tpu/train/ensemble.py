@@ -23,8 +23,15 @@ import numpy as np
 
 from gan_danet_tpu.core.config import ExperimentConfig
 from gan_danet_tpu.core.logger import MetricsLogger
-from gan_danet_tpu.data.dataset import ArrayDataset, Batcher
+from gan_danet_tpu.data.dataset import ArrayDataset, apply_augmentation
+from gan_danet_tpu.data.scalers import as_scaler_stats
 from gan_danet_tpu.train.gan import GANTrainState, init_gan_state
+from gan_danet_tpu.train.loops import (
+    dataset_to_device,
+    make_epoch_fn,
+    make_scan_predict,
+    scan_predict_to_host,
+)
 from gan_danet_tpu.train.trainer import ModelTrainer
 
 
@@ -58,43 +65,23 @@ class EnsembleTrainer:
         single = self.base._train_step.raw
         vmapped = jax.vmap(single, in_axes=(0, None, None))
         if mesh is not None:
-            # Manual-SPMD over 'ensemble' (each shard trains its local
-            # members), 'data' left automatic so GSPMD inserts the batch
-            # allreduce inside each member program. (Plain vmap+GSPMD fails
-            # here: vmap folds the member axis into conv feature groups,
-            # which the partitioner can't split.)
-            from jax.sharding import PartitionSpec as P
+            from gan_danet_tpu.parallel.spmd import make_ensemble_step
 
-            self._ensemble_step = jax.jit(jax.shard_map(
-                vmapped,
-                mesh=mesh,
-                in_specs=(P("ensemble"), P(), P()),
-                out_specs=(P("ensemble"), P("ensemble")),
-                axis_names={"ensemble"},
-                check_vma=False,
-            ))
+            self._ensemble_step = make_ensemble_step(vmapped, mesh)
         else:
             self._ensemble_step = jax.jit(vmapped)
         eval_single = self.base._eval_step
         self._ensemble_eval = jax.jit(jax.vmap(eval_single,
                                                in_axes=(0, 0, None)))
+        self._predict_fn = make_scan_predict(self._ensemble_eval)
 
         # single-device fast path: whole-epoch lax.scan over on-device
         # batch gathers (same rationale as ModelTrainer._epoch_fn); the
         # mesh path keeps per-batch dispatch (used by the multichip dryrun)
         self._dev_train = None
+        self._aug_key = jax.random.PRNGKey(config.train.seed)
         if mesh is None:
-            def epoch_fn(state, data, idx_batches, loss_weight):
-                def body(st, idx):
-                    batch = {k: jnp.take(v, idx, axis=0)
-                             for k, v in data.items()}
-                    st, metrics = vmapped(st, batch, loss_weight)
-                    return st, metrics["loss_g"]
-
-                state, gs = jax.lax.scan(body, state, idx_batches)
-                return state, gs.mean(axis=0)          # (members,)
-
-            self._epoch_fn = jax.jit(epoch_fn)
+            self._epoch_fn = make_epoch_fn(vmapped, config.train.augment)
         else:
             self._epoch_fn = None
 
@@ -108,25 +95,25 @@ class EnsembleTrainer:
         history = []
 
         if self._epoch_fn is not None and self._dev_train is None:
-            ds = self.base.train_ds
-            self._dev_train = {
-                "lr05": jnp.asarray(ds.lr_grace_05[..., None]),
-                "lr025": jnp.asarray(ds.lr_grace_025[..., None]),
-                "aux": jnp.asarray(ds.hr_aux),
-            }
+            self._dev_train = dataset_to_device(self.base.train_ds)
 
         for epoch in range(tc.epochs):
             lw = jnp.float32(epoch / tc.epochs)
+            self._aug_key, ek = jax.random.split(self._aug_key)
             if self._epoch_fn is not None:
                 idx = jnp.asarray(self.base._epoch_indices())
-                self.state, avg_dev = self._epoch_fn(self.state,
-                                                     self._dev_train, idx, lw)
-                avg = np.asarray(avg_dev)
+                self.state, gs, _ = self._epoch_fn(self.state,
+                                                   self._dev_train, idx,
+                                                   lw, ek)
+                avg = np.asarray(gs.mean(axis=0))      # (members,)
             else:
                 # device-resident per-step metrics; one host sync per epoch
                 step_losses = []
                 for batch in self.base.train_loader:
                     batch = jax.tree.map(jnp.asarray, batch)
+                    if tc.augment:
+                        ek, k = jax.random.split(ek)
+                        batch = apply_augmentation(batch, k)
                     self.state, metrics = self._ensemble_step(self.state,
                                                               batch, lw)
                     step_losses.append(metrics["loss_g"])
@@ -161,9 +148,18 @@ class EnsembleTrainer:
 
     # ------------------------------------------------------------------
     def predict_ensemble(self, dataset: Optional[ArrayDataset] = None,
-                         batch_size: Optional[int] = None) -> np.ndarray:
+                         batch_size: Optional[int] = None,
+                         inverse: Optional[str] = "scaler_05") -> np.ndarray:
         """(members, N, H, W, 1) predictions over the full (unshuffled)
-        dataset — reference deep_ensemble.ipynb:367."""
+        dataset as one device-resident scan — reference
+        deep_ensemble.ipynb:367.
+
+        `inverse` reproduces the reference's inverse-transform quirk:
+        predict_ensemble inverse-transforms with the **0.5° scaler**
+        (`grace_scaler_05o`, deep_ensemble.ipynb:367 — not the 0.25° one
+        the predictions actually live in). Default 'scaler_05' is the
+        faithful quirk; pass 'scaler_025' for the physically consistent
+        transform or None for raw standardized-detrended units."""
         if dataset is None:
             ds = self.base.train_ds
             full = ArrayDataset(
@@ -173,17 +169,35 @@ class EnsembleTrainer:
             )
         else:
             full = dataset
-        loader = Batcher(full, batch_size or self.config.train.batch_size)
-        n = len(full)
-        outs, seen = [], 0
-        for batch in loader:
-            batch = jax.tree.map(jnp.asarray, batch)
-            pred = self._ensemble_eval(self.state.g_params,
-                                       self.state.g_batch_stats, batch)
-            take = min(pred.shape[1], n - seen)
-            outs.append(np.asarray(pred)[:, :take])
-            seen += take
-        return np.concatenate(outs, axis=1)
+        preds = scan_predict_to_host(
+            self._predict_fn, self.state.g_params, self.state.g_batch_stats,
+            dataset_to_device(full), np.arange(len(full)),
+            batch_size or self.config.train.batch_size, batch_axis=1)
+        return self._inverse(preds, inverse)
+
+    def collect_trues(self, dataset: Optional[ArrayDataset] = None,
+                      inverse: Optional[str] = "scaler_05") -> np.ndarray:
+        """Ground-truth (N, H, W, 1) stack matching predict_ensemble's
+        sample order and inverse-transform quirk (the reference returns
+        `all_trues` alongside predictions and inverse-transforms them with
+        the same 0.5° scaler, deep_ensemble.ipynb predict_ensemble)."""
+        if dataset is None:
+            t = np.concatenate([self.base.train_ds.lr_grace_025,
+                                self.base.test_ds.lr_grace_025])
+        else:
+            t = dataset.lr_grace_025
+        return self._inverse(t[..., None].astype(np.float32), inverse)
+
+    def _inverse(self, x: np.ndarray, inverse: Optional[str]) -> np.ndarray:
+        if inverse is None:
+            return x
+        scalers = {"scaler_05": self.base.scaler05,
+                   "scaler_025": self.base.scaler025}
+        if inverse not in scalers:
+            raise ValueError(f"inverse must be one of {sorted(scalers)} or "
+                             f"None, got {inverse!r}")
+        return np.asarray(
+            as_scaler_stats(scalers[inverse]).inverse_transform(x))
 
     # ------------------------------------------------------------------
     def compute_uncertainty(
@@ -209,6 +223,7 @@ class EnsembleTrainer:
             "series_std": series.std(axis=0),
         }
         if trues is not None:
+            out["trues"] = trues
             t = trues[..., 0] if trues.ndim == 4 else trues
             if mask is not None:
                 t = np.where(mask[None] > 0, t, np.nan)
@@ -265,12 +280,20 @@ class EnsembleTrainer:
                                         g_batch_stats=stacked_s)
 
     def save_artifacts(self, directory, results: Dict[str, np.ndarray]) -> None:
-        """ensemble_mean_predictions.npy / ensemble_uncertainty*.npy /
-        ensemble_trues.npy producer (reference main(), cell 0)."""
+        """The reference main()'s artifact set (deep_ensemble.ipynb
+        cell 0, :530-560): ensemble_mean_predictions.npy +
+        ensemble_mean_preds.npy (both the member-mean map, saved twice —
+        faithful), ensemble_uncertainty_averaged.npy (per-pixel member std,
+        what main() passes to save_uncertainty), ensemble_uncertainty.npy
+        (the per-pixel std variant test.ipynb:613 consumes), and
+        ensemble_trues.npy when compute_uncertainty was given trues."""
         from pathlib import Path
 
         d = Path(directory)
         d.mkdir(parents=True, exist_ok=True)
         np.save(d / "ensemble_mean_predictions.npy", results["mean_predictions"])
+        np.save(d / "ensemble_mean_preds.npy", results["mean_predictions"])
         np.save(d / "ensemble_uncertainty.npy", results["uncertainty"])
-        np.save(d / "ensemble_uncertainty_averaged.npy", results["series_std"])
+        np.save(d / "ensemble_uncertainty_averaged.npy", results["uncertainty"])
+        if "trues" in results:
+            np.save(d / "ensemble_trues.npy", results["trues"])

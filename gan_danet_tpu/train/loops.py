@@ -1,0 +1,106 @@
+"""Device-resident loop builders shared by ModelTrainer and EnsembleTrainer.
+
+Per-batch Python dispatch dominates wall time on remote/tunneled TPUs
+(measured 1.37 s/step wall vs 19 ms compute — see trainer.py round-1 notes),
+so every hot loop here compiles to ONE XLA program: the dataset lives in HBM
+and a `lax.scan` gathers batches by index. The reference's per-batch
+host->device DataLoader copies (GAN_DANet_train.ipynb cell 0 train loop;
+SURVEY.md §3.1 "host->device copy at .to(device)") have no TPU-native
+equivalent — this module is what replaces them.
+"""
+from __future__ import annotations
+
+from typing import Callable, Dict
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from gan_danet_tpu.data.dataset import ArrayDataset, apply_augmentation
+
+
+def dataset_to_device(ds: ArrayDataset) -> Dict[str, jnp.ndarray]:
+    """Move a whole split into HBM as the {lr05, lr025, aux} batch dict."""
+    return {
+        "lr05": jnp.asarray(ds.lr_grace_05[..., None]),
+        "lr025": jnp.asarray(ds.lr_grace_025[..., None]),
+        "aux": jnp.asarray(ds.hr_aux),
+    }
+
+
+def batch_index_matrix(order: np.ndarray, batch_size: int) -> np.ndarray:
+    """(n_batches, batch_size) gather indices reproducing Batcher semantics
+    (fixed batch size, wrap-around final batch)."""
+    n = len(order)
+    n_batches = int(np.ceil(n / batch_size))
+    total = n_batches * batch_size
+    return np.resize(np.asarray(order), total).reshape(
+        n_batches, batch_size).astype(np.int32)
+
+
+def gather_batch(data: Dict[str, jnp.ndarray], idx: jnp.ndarray):
+    return {k: jnp.take(v, idx, axis=0) for k, v in data.items()}
+
+
+def make_epoch_fn(step_fn: Callable, augment: bool) -> Callable:
+    """One jitted program per training epoch.
+
+    step_fn(state, batch, loss_weight) -> (state, metrics with loss_g/loss_d)
+    may be the single-member GAN step or its vmap over an ensemble axis.
+    Returns epoch_fn(state, data, idx_batches, loss_weight, aug_key)
+    -> (state, loss_g_stack, loss_d_stack) where the stacks carry the
+    per-batch metrics (leading axis = batch index).
+    """
+
+    def epoch_fn(state, data, idx_batches, loss_weight, aug_key):
+        def body(carry, idx):
+            st, key = carry
+            batch = gather_batch(data, idx)
+            if augment:
+                key, k = jax.random.split(key)
+                batch = apply_augmentation(batch, k)
+            st, metrics = step_fn(st, batch, loss_weight)
+            return (st, key), (metrics["loss_g"], metrics["loss_d"])
+
+        (state, _), (gs, ds) = jax.lax.scan(body, (state, aug_key),
+                                            idx_batches)
+        return state, gs, ds
+
+    return jax.jit(epoch_fn)
+
+
+def make_scan_predict(eval_step: Callable) -> Callable:
+    """One jitted program per full prediction pass.
+
+    eval_step(params, stats, batch) -> pred; may be the single-member eval
+    or its vmap over the ensemble axis. Returns
+    predict_fn(params, stats, data, idx_batches) -> per-batch prediction
+    stack with leading axis = batch index.
+    """
+
+    def predict_fn(params, stats, data, idx_batches):
+        def body(_, idx):
+            return None, eval_step(params, stats, gather_batch(data, idx))
+
+        _, preds = jax.lax.scan(body, None, idx_batches)
+        return preds
+
+    return jax.jit(predict_fn)
+
+
+def scan_predict_to_host(predict_fn, params, stats, data, order,
+                         batch_size: int, batch_axis: int = 0) -> np.ndarray:
+    """Run a make_scan_predict program over `order` and return host
+    predictions in sample order with the wrap-around fill trimmed.
+
+    batch_axis: position of the per-batch sample axis in eval_step's output
+    (0 for the single-member eval, 1 when vmapped over members)."""
+    idx = jnp.asarray(batch_index_matrix(order, batch_size))
+    preds = np.asarray(predict_fn(params, stats, data, idx))
+    # (n_batches, ..., batch, ...) -> flatten scan+batch axes into samples
+    preds = np.moveaxis(preds, batch_axis + 1, 1)
+    flat = preds.reshape((preds.shape[0] * preds.shape[1],) + preds.shape[2:])
+    flat = flat[: len(order)]
+    if batch_axis != 0:
+        flat = np.moveaxis(flat, 0, batch_axis)
+    return flat

@@ -27,7 +27,6 @@ from gan_danet_tpu.core.logger import MetricsLogger
 from gan_danet_tpu.data.dataset import (
     ArrayDataset,
     Batcher,
-    apply_augmentation,
     train_test_split_indices,
 )
 from gan_danet_tpu.data.pipeline import load_or_build_cache
@@ -39,6 +38,13 @@ from gan_danet_tpu.train.gan import (
     init_gan_state,
     make_eval_step,
     make_train_step,
+)
+from gan_danet_tpu.train.loops import (
+    batch_index_matrix,
+    dataset_to_device,
+    make_epoch_fn,
+    make_scan_predict,
+    scan_predict_to_host,
 )
 from gan_danet_tpu.train.schedules import cosine_warm_restarts
 
@@ -126,29 +132,13 @@ class ModelTrainer:
         self.best_params = None
         self.best_batch_stats = None
 
-        # Device-resident epoch scan: the whole training split lives in HBM
-        # and an epoch compiles to ONE program (scan over gathered batches).
-        # Per-batch host->device copies + dispatch dominate wall time on
-        # remote/tunneled TPUs (measured 1.37 s/step wall vs 19 ms compute).
+        # Device-resident epoch scan + prediction scan: the whole split
+        # lives in HBM and each loop compiles to ONE program (see
+        # train/loops.py for the dispatch-overhead rationale).
         self._dev_train = None
-        augment = tc.augment
-        step_raw = self._train_step.raw
-
-        def epoch_fn(state, data, idx_batches, loss_weight, aug_key):
-            def body(carry, idx):
-                st, key = carry
-                batch = {k: jnp.take(v, idx, axis=0) for k, v in data.items()}
-                if augment:
-                    key, k = jax.random.split(key)
-                    batch = apply_augmentation(batch, k)
-                st, metrics = step_raw(st, batch, loss_weight)
-                return (st, key), (metrics["loss_g"], metrics["loss_d"])
-
-            (state, _), (gs, ds) = jax.lax.scan(body, (state, aug_key),
-                                                idx_batches)
-            return state, gs.mean(), ds.mean()
-
-        self._epoch_fn = jax.jit(epoch_fn)
+        self._dev_test = None
+        self._epoch_fn = make_epoch_fn(self._train_step.raw, tc.augment)
+        self._predict_fn = make_scan_predict(self._eval_step)
 
     # ------------------------------------------------------------------
     def _epoch_indices(self) -> np.ndarray:
@@ -158,9 +148,7 @@ class ModelTrainer:
         n = len(loader.dataset)
         order = (loader._rng.permutation(n) if loader.shuffle
                  else np.arange(n))
-        total = len(loader) * loader.batch_size
-        return np.resize(order, total).reshape(len(loader),
-                                               loader.batch_size).astype(np.int32)
+        return batch_index_matrix(order, loader.batch_size)
 
     # ------------------------------------------------------------------
     def train(self, start_epoch: Optional[int] = None):
@@ -177,21 +165,16 @@ class ModelTrainer:
         trigger = 0
 
         if self._dev_train is None:
-            ds = self.train_ds
-            self._dev_train = {
-                "lr05": jnp.asarray(ds.lr_grace_05[..., None]),
-                "lr025": jnp.asarray(ds.lr_grace_025[..., None]),
-                "aux": jnp.asarray(ds.hr_aux),
-            }
+            self._dev_train = dataset_to_device(self.train_ds)
 
         for epoch in range(start_epoch, tc.epochs):
             loss_weight = jnp.float32(epoch / tc.epochs)
             self._aug_key, ek = jax.random.split(self._aug_key)
             idx = jnp.asarray(self._epoch_indices())
-            self.state, avg_g_dev, avg_d_dev = self._epoch_fn(
+            self.state, gs, ds_ = self._epoch_fn(
                 self.state, self._dev_train, idx, loss_weight, ek)
-            avg_g = float(avg_g_dev)
-            avg_d = float(avg_d_dev)
+            avg_g = float(gs.mean())
+            avg_d = float(ds_.mean())
             losses_g.append(avg_g)
             losses_d.append(avg_d)
             self.logger.log("epoch", epoch=epoch, loss_d=avg_d, loss_g=avg_g)
@@ -221,20 +204,11 @@ class ModelTrainer:
 
     # ------------------------------------------------------------------
     def evaluate(self) -> Dict[str, float]:
-        preds, trues = [], []
-        n_test = len(self.test_ds)
-        seen = 0
-        for batch in self.test_loader:
-            batch = jax.tree.map(jnp.asarray, batch)
-            pred = self._eval_step(self.state.g_params,
-                                   self.state.g_batch_stats, batch)
-            take = min(pred.shape[0], n_test - seen)  # drop wrap-around fill
-            preds.append(np.asarray(pred)[:take])
-            trues.append(np.asarray(batch["lr025"])[:take])
-            seen += take
-
-        p = np.concatenate(preds).reshape(-1)
-        t = np.concatenate(trues).reshape(-1)
+        """MSE/MAE/R2/corrcoef over the test split (reference
+        ModelTrainer.evaluate) — one compiled scan, no per-batch dispatch."""
+        preds = self.predict()
+        p = preds.reshape(-1)
+        t = self.test_ds.lr_grace_025.reshape(-1)
         mse = float(np.mean((p - t) ** 2))
         mae = float(np.mean(np.abs(p - t)))
         ss_res = float(np.sum((t - p) ** 2))
@@ -278,17 +252,19 @@ class ModelTrainer:
                              self.state.g_batch_stats)
 
     # ------------------------------------------------------------------
-    def predict(self, loader: Optional[Batcher] = None) -> np.ndarray:
-        """Forward the (coarsened-input) pipeline over a loader; returns
-        stacked standardized-detrended predictions."""
-        loader = loader or self.test_loader
-        n = len(loader.dataset)
-        outs, seen = [], 0
-        for batch in loader:
-            batch = jax.tree.map(jnp.asarray, batch)
-            pred = self._eval_step(self.state.g_params,
-                                   self.state.g_batch_stats, batch)
-            take = min(pred.shape[0], n - seen)
-            outs.append(np.asarray(pred)[:take])
-            seen += take
-        return np.concatenate(outs)
+    def predict(self, dataset: Optional[ArrayDataset] = None,
+                batch_size: Optional[int] = None) -> np.ndarray:
+        """Forward the (coarsened-input) pipeline over a dataset (default:
+        the test split) as ONE device-resident scan; returns stacked
+        standardized-detrended predictions in sample order."""
+        ds = dataset if dataset is not None else self.test_ds
+        if dataset is None:
+            if self._dev_test is None:
+                self._dev_test = dataset_to_device(ds)
+            data = self._dev_test
+        else:
+            data = dataset_to_device(ds)
+        return scan_predict_to_host(
+            self._predict_fn, self.state.g_params, self.state.g_batch_stats,
+            data, np.arange(len(ds)),
+            batch_size or self.config.train.batch_size)

@@ -73,10 +73,66 @@ def test_member_checkpoint_roundtrip(ens, tmp_path):
 
 
 def test_save_artifacts_layout(ens, tmp_path):
+    """The reference main()'s full artifact set (deep_ensemble.ipynb
+    :530-560), including ensemble_trues.npy and the duplicate
+    ensemble_mean_preds.npy."""
     trainer, raw = ens
     preds = trainer.predict_ensemble()
-    results = trainer.compute_uncertainty(preds, mask=raw.mask_high)
+    trues = trainer.collect_trues()
+    results = trainer.compute_uncertainty(preds, trues=trues,
+                                          mask=raw.mask_high)
     trainer.save_artifacts(tmp_path, results)
-    for f in ("ensemble_mean_predictions.npy", "ensemble_uncertainty.npy",
-              "ensemble_uncertainty_averaged.npy"):
+    for f in ("ensemble_mean_predictions.npy", "ensemble_mean_preds.npy",
+              "ensemble_uncertainty.npy", "ensemble_uncertainty_averaged.npy",
+              "ensemble_trues.npy"):
         assert (tmp_path / f).exists(), f
+    saved_trues = np.load(tmp_path / "ensemble_trues.npy")
+    np.testing.assert_allclose(saved_trues, trues)
+
+
+def test_predict_ensemble_scaler05_quirk(ens):
+    """predict_ensemble inverse-transforms with the 0.5-degree scaler by
+    default (the reference's faithful quirk, deep_ensemble.ipynb:367);
+    inverse=None returns raw standardized units and inverse='scaler_025'
+    the physically consistent transform."""
+    trainer, _ = ens
+    raw_std = trainer.predict_ensemble(inverse=None)
+    quirk = trainer.predict_ensemble()                      # scaler_05
+    proper = trainer.predict_ensemble(inverse="scaler_025")
+
+    s05 = trainer.base.scaler05
+    s025 = trainer.base.scaler025
+    np.testing.assert_allclose(
+        quirk, raw_std * s05.scale_[0] + s05.mean_[0], rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(
+        proper, raw_std * s025.scale_[0] + s025.mean_[0], rtol=1e-5, atol=1e-5)
+    # trues follow the same quirk
+    trues = trainer.collect_trues()
+    full_std = np.concatenate([trainer.base.train_ds.lr_grace_025,
+                               trainer.base.test_ds.lr_grace_025])[..., None]
+    np.testing.assert_allclose(
+        trues, full_std * s05.scale_[0] + s05.mean_[0], rtol=1e-5, atol=1e-5)
+
+    with pytest.raises(ValueError):
+        trainer.predict_ensemble(inverse="bogus")
+
+
+def test_ensemble_honors_augment_flag():
+    """TrainConfig.augment=True is threaded through the ensemble epoch scan
+    (round-1 advisor finding: it was silently ignored)."""
+    dc = tiny_config(24)
+    raw = make_synthetic_raw(dc, seed=0)
+    data = load_data_with_augmentation(dc, raw=raw)
+    cfg = ExperimentConfig(
+        data=dc,
+        generator=GeneratorConfig(input_channels=46, num_blocks=2,
+                                  num_layers_per_block=2, growth_rate=8,
+                                  use_pallas_attention=False),
+        discriminator=DiscriminatorConfig(input_hw=dc.grid_025),
+        loss=LossConfig(use_perceptual=False),
+        train=TrainConfig(epochs=1, batch_size=4, dtype="float32",
+                          augment=True),
+    )
+    trainer = EnsembleTrainer(cfg, num_ensemble=2, data=data)
+    history = trainer.train_ensemble()
+    assert history.shape == (1, 2) and np.isfinite(history).all()

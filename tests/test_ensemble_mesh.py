@@ -1,0 +1,92 @@
+"""The shard_map ensemble-parallel train path on the 8-device virtual mesh
+(parallel/spmd.make_ensemble_step; reference sequential-member training,
+deep_ensemble.ipynb:322-340, re-designed as ensemble x data SPMD).
+
+Covers the round-1 hole: the mesh branch of EnsembleTrainer was only
+exercised by the driver dryrun, never in CI.
+"""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from gan_danet_tpu.core.config import (
+    DiscriminatorConfig,
+    ExperimentConfig,
+    GeneratorConfig,
+    LossConfig,
+    TrainConfig,
+)
+from gan_danet_tpu.core.meshes import make_mesh
+from gan_danet_tpu.data.pipeline import load_data_with_augmentation
+from gan_danet_tpu.data.synthetic import make_synthetic_raw, tiny_config
+from gan_danet_tpu.train.ensemble import EnsembleTrainer
+
+pytestmark = pytest.mark.skipif(
+    len(jax.devices()) < 8, reason="needs the 8-device virtual mesh")
+
+
+def _cfg_and_data(batch_size):
+    dc = tiny_config(24)
+    raw = make_synthetic_raw(dc, seed=0)
+    data = load_data_with_augmentation(dc, raw=raw)
+    cfg = ExperimentConfig(
+        data=dc,
+        generator=GeneratorConfig(input_channels=46, num_blocks=2,
+                                  num_layers_per_block=2, growth_rate=8,
+                                  use_pallas_attention=False),
+        discriminator=DiscriminatorConfig(input_hw=dc.grid_025),
+        loss=LossConfig(use_perceptual=False),
+        train=TrainConfig(epochs=1, batch_size=batch_size, dtype="float32"),
+    )
+    return cfg, data
+
+
+@pytest.fixture(scope="module")
+def mesh():
+    return make_mesh(n_ensemble=2, n_data=4)
+
+
+def test_mesh_step_matches_vmap_path(mesh):
+    """One ensemble step on the (2x4) mesh produces the same losses and
+    parameters as the mesh-free vmapped step for identical seeds."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    cfg, data = _cfg_and_data(batch_size=8)
+    ens_mesh = EnsembleTrainer(cfg, num_ensemble=2, data=data, mesh=mesh)
+    ens_ref = EnsembleTrainer(cfg, num_ensemble=2, data=data)
+
+    batch = jax.tree.map(jnp.asarray, next(iter(ens_ref.base.train_loader)))
+    lw = jnp.float32(0.25)
+
+    state_m = jax.tree.map(
+        lambda x: jax.device_put(x, NamedSharding(mesh, P("ensemble"))),
+        ens_mesh.state)
+    batch_m = jax.tree.map(
+        lambda x: jax.device_put(x, NamedSharding(mesh, P("data"))), batch)
+    new_m, metrics_m = ens_mesh._ensemble_step(state_m, batch_m, lw)
+    new_r, metrics_r = ens_ref._ensemble_step(ens_ref.state, batch, lw)
+
+    np.testing.assert_allclose(np.asarray(metrics_m["loss_g"]),
+                               np.asarray(metrics_r["loss_g"]),
+                               rtol=2e-4, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(metrics_m["loss_d"]),
+                               np.asarray(metrics_r["loss_d"]),
+                               rtol=2e-4, atol=2e-5)
+    # parameters track too (spot-check the first leaf)
+    leaf_m = np.asarray(jax.tree_util.tree_leaves(new_m.g_params)[0])
+    leaf_r = np.asarray(jax.tree_util.tree_leaves(new_r.g_params)[0])
+    np.testing.assert_allclose(leaf_m, leaf_r, rtol=2e-3, atol=2e-4)
+
+
+def test_mesh_train_ensemble_epoch(mesh):
+    """A full train_ensemble() epoch runs green on the mesh branch
+    (per-batch dispatch path) and yields finite per-member losses."""
+    cfg, data = _cfg_and_data(batch_size=8)
+    ens = EnsembleTrainer(cfg, num_ensemble=2, data=data, mesh=mesh)
+    history = ens.train_ensemble()
+    assert history.shape == (1, 2)
+    assert np.isfinite(history).all()
+    # members started from different seeds -> losses differ
+    assert history[0, 0] != history[0, 1]
