@@ -31,6 +31,9 @@ def fill_placeholder_with_nearest(
     (reference datasets.py:222-250): gaussian-smooth the zero-filled field
     and the validity mask, divide, and substitute at placeholder sites.
     Vectorised over (T, channels) using the gaussian matrix operators.
+    The reference smooths the full (T, H, W) variable — the time axis is
+    included (scipy gaussian_filter on a 3-D array is separable over all
+    three axes), reproduced here with a third gaussian matrix along T.
 
     Beyond the reference: non-finite pixels (NaN/inf) are treated as
     placeholders too. The reference loads pre-cleaned .npy inputs, but our
@@ -42,6 +45,7 @@ def fill_placeholder_with_nearest(
     if squeeze:
         data = data[..., None]
     t, h, w, c = data.shape
+    gt = gaussian_matrix(t, sigma)
     gh = gaussian_matrix(h, sigma)
     gw = gaussian_matrix(w, sigma)
 
@@ -51,9 +55,10 @@ def fill_placeholder_with_nearest(
     filled = np.where(mask_bad, 0.0, data)
     valid = (~mask_bad).astype(np.float64)
 
-    # smooth H then W for both stacks at once
+    # smooth T, then H, then W for both stacks at once
     def smooth(x):
-        y = np.einsum("ah,thwc->tawc", gh, x)
+        y = np.einsum("st,thwc->shwc", gt, x)
+        y = np.einsum("ah,thwc->tawc", gh, y)
         return np.einsum("bw,tawc->tabc", gw, y)
 
     smoothed = smooth(filled)

@@ -105,8 +105,6 @@ def load_torch_vgg_features(weights_path: str, params_template):
         cleaned[k] = v.numpy() if hasattr(v, "numpy") else np.asarray(v)
 
     # map sequential conv indices in order
-    torch_conv_indices = [i for i, item in enumerate(
-        idx for idx, kind, _ in _sequential_plan(10**6) if kind == "conv")]
     seq_conv_idx = [idx for idx, kind, _ in _sequential_plan(10**6) if kind == "conv"]
 
     new_params = dict(params_template)
@@ -122,5 +120,4 @@ def load_torch_vgg_features(weights_path: str, params_template):
             "kernel": jnp.asarray(kernel),
             "bias": jnp.asarray(cleaned[bk]),
         }
-    del torch_conv_indices
     return new_params

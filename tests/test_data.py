@@ -105,6 +105,27 @@ def test_placeholder_inpainting(rng):
     assert np.allclose(filled[:, 0, 0], x[:, 0, 0])  # untouched elsewhere
 
 
+def test_placeholder_inpainting_matches_reference_algorithm(rng):
+    """Bit-level parity with the reference's normalized-convolution
+    inpainting (datasets.py:222-250): scipy gaussian_filter over the FULL
+    (T,H,W) cube — time axis smoothed too — on the zero-filled field and
+    the validity mask, divided, substituted at placeholder sites."""
+    import scipy.ndimage
+
+    x = rng.standard_normal((12, 20, 24)).astype(np.float64) + 5.0
+    x[3:6, 5:8, 5:9] = -99999.0
+    got = fill_placeholder_with_nearest(x, placeholder=-9999, sigma=3.0)
+
+    mask = x <= -9999
+    filled = np.where(mask, 0.0, x)
+    sm = scipy.ndimage.gaussian_filter(filled, sigma=3.0, mode="reflect")
+    msm = scipy.ndimage.gaussian_filter((~mask).astype(float), sigma=3.0,
+                                        mode="reflect")
+    msm[msm == 0] = 1.0
+    want = np.where(mask, sm / msm, x)
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+
 def test_placeholder_inpainting_handles_nan(rng):
     """Reader-masked NaNs must be inpainted, not passed through (ADVICE r1:
     NaN <= placeholder is False, so they used to survive into the scaler)."""
