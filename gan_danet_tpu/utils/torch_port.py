@@ -113,6 +113,64 @@ def port_generator(
     return params, stats
 
 
+def _linear(sd, prefix, bias=True):
+    out = {"kernel": sd[f"{prefix}.weight"].T}
+    if bias and f"{prefix}.bias" in sd:
+        out["bias"] = sd[f"{prefix}.bias"]
+    return out
+
+
+def port_hat(
+    state_dict: Dict[str, np.ndarray],
+    num_groups: int = 4,
+    num_habs: int = 6,
+    upscale_factor: int = 4,
+    has_residual_conv: bool = True,
+) -> dict:
+    """Reference HAT state_dict (HAT.ipynb cell 0 module layout) -> params
+    for models/hat.py. Convs OIHW->HWIO, Linears transposed, LayerNorm
+    weight/bias -> scale/bias, relative-position bias tables copied
+    verbatim (identical Swin indexing on both sides)."""
+    sd = state_dict
+    params: dict = {"entry": _conv(sd, "entry"),
+                    "conv_after_body": _conv(sd, "conv_after_body"),
+                    "exit": _conv(sd, "exit")}
+    if has_residual_conv:
+        params["residual_conv"] = _conv(sd, "residual_conv")
+
+    for g in range(num_groups):
+        gbase = f"groups.{g}"
+        group: dict = {"conv": _conv(sd, f"{gbase}.conv")}
+        for i in range(num_habs):
+            hbase = f"{gbase}.habs.{i}"
+            group[f"hab{i}"] = {
+                "norm1": {"scale": sd[f"{hbase}.norm1.weight"],
+                          "bias": sd[f"{hbase}.norm1.bias"]},
+                "norm2": {"scale": sd[f"{hbase}.norm2.weight"],
+                          "bias": sd[f"{hbase}.norm2.bias"]},
+                "channel_attention": {
+                    "fc1": _linear(sd, f"{hbase}.channel_attention.fc.0",
+                                   bias=False),
+                    "fc2": _linear(sd, f"{hbase}.channel_attention.fc.2",
+                                   bias=False),
+                },
+                "window_attention": {
+                    "qkv": _linear(sd, f"{hbase}.window_attention.qkv",
+                                   bias=False),
+                    "proj": _linear(sd, f"{hbase}.window_attention.proj"),
+                    "relative_position_bias_table":
+                        sd[f"{hbase}.window_attention"
+                           ".relative_position_bias_table"],
+                },
+            }
+        params[f"group{g}"] = group
+
+    for i in range(upscale_factor // 2):
+        # torch Sequential [Conv, PixelShuffle] pairs -> even indices
+        params[f"up_conv{i}"] = _conv(sd, f"upsample.{2 * i}")
+    return params
+
+
 def port_discriminator1(
     state_dict: Dict[str, np.ndarray],
     input_hw: Tuple[int, int] = (88, 180),

@@ -69,6 +69,49 @@ def test_discriminator_forward_parity(ref_models, rng):
     np.testing.assert_allclose(got, want, rtol=1e-3, atol=2e-4)
 
 
+@pytest.fixture(scope="module")
+def ref_hat():
+    """The reference HAT lives only inside HAT.ipynb cell 0 — extract the
+    module source from the notebook JSON and exec it read-only (the
+    __main__ demo block stays dormant under a different __name__)."""
+    import json
+
+    nb = json.loads(open("/root/reference/HAT.ipynb").read())
+    src = "".join("".join(c["source"]) for c in nb["cells"]
+                  if c["cell_type"] == "code")
+    ns = {"__name__": "_ref_hat"}
+    exec(compile(src, "HAT.ipynb", "exec"), ns)
+    return ns["HAT"]
+
+
+def test_hat_forward_parity(ref_hat, rng):
+    """HAT torch-port parity (reference HAT.ipynb:31-260): the reference's
+    own module with random weights, ported, must match our flax forward —
+    window attention + rel-pos bias, channel attention, pixel shuffle,
+    bilinear input residual, at a shape that exercises window padding
+    (42x16: 42 % 8 != 0)."""
+    from gan_danet_tpu.models.hat import HAT
+    from gan_danet_tpu.utils.torch_port import port_hat
+
+    torch.manual_seed(3)
+    ref = ref_hat(in_channels=12, out_channels=1, channels=32,
+                  num_groups=2, num_habs=2, window_size=8, num_heads=4,
+                  upscale_factor=4).eval()
+    sd = {k: v.detach().numpy() for k, v in ref.state_dict().items()}
+
+    ours = HAT(in_channels=12, out_channels=1, channels=32, num_groups=2,
+               num_habs=2, window_size=8, num_heads=4, upscale_factor=4)
+    params = port_hat(sd, num_groups=2, num_habs=2, upscale_factor=4)
+
+    x = rng.standard_normal((2, 42, 16, 12)).astype(np.float32)
+    with torch.no_grad():
+        want = ref(torch.from_numpy(x).permute(0, 3, 1, 2)) \
+            .permute(0, 2, 3, 1).numpy()
+    got = np.asarray(ours.apply({"params": params}, jnp.asarray(x)))
+    assert got.shape == want.shape == (2, 168, 64, 1)
+    np.testing.assert_allclose(got, want, rtol=1e-3, atol=2e-4)
+
+
 def test_generator_parity_in_train_mode(ref_models, rng):
     """Batch-stats mode too: torch train() BN uses batch statistics, as
     does our train=True path."""
