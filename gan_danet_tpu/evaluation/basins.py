@@ -144,11 +144,14 @@ def export_basin_analysis(
     masks_high: Dict[str, np.ndarray],
     out_dir,
 ) -> None:
-    """Per-basin comparison tables + figures (the reference writes an XLSX
-    and PNG per basin; we emit CSV — openpyxl-free — and PNG)."""
+    """Per-basin comparison tables + figures (the reference's
+    Basin_TWSA_Comparison notebook writes an XLSX and PNG per basin;
+    we emit XLSX via the stdlib writer in utils/xlsx.py, plus CSV and
+    PNG)."""
     import pandas as pd
 
     from gan_danet_tpu.evaluation.plots import _plt
+    from gan_danet_tpu.utils.xlsx import write_xlsx
 
     out = Path(out_dir)
     out.mkdir(parents=True, exist_ok=True)
@@ -162,6 +165,8 @@ def export_basin_analysis(
         df = pd.DataFrame({"downscaled": ds[name][:n], "grace": gs[name][:n]})
         safe = "".join(c if c.isalnum() else "_" for c in name)
         df.to_csv(out / f"basin_{safe}.csv", index=False)
+        write_xlsx(out / f"basin_{safe}.xlsx", list(df.columns),
+                   df.to_numpy().tolist(), sheet_name=name[:31] or "basin")
         fig, ax = plt.subplots(figsize=(10, 4))
         ax.plot(df["grace"], label="GRACE")
         ax.plot(df["downscaled"], label="Downscaled")

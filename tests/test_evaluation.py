@@ -93,3 +93,54 @@ def test_point_in_polygon_with_hole():
     lat = np.array([5.0, 2.0])
     got = points_in_polygon(lon, lat, [outer, hole])
     np.testing.assert_array_equal(got, [False, True])  # hole excluded
+
+
+def test_write_xlsx_roundtrip(tmp_path):
+    """The stdlib XLSX writer (utils/xlsx.py) emits valid SpreadsheetML:
+    unzip + parse the sheet XML and recover header and numeric/str cells
+    (openpyxl is absent in this image, so parse directly)."""
+    import zipfile
+    import xml.etree.ElementTree as ET
+
+    from gan_danet_tpu.utils.xlsx import write_xlsx
+
+    p = tmp_path / "t.xlsx"
+    write_xlsx(p, ["name", "value"], [["alpha", 1.5], ["beta", -2.0],
+                                      ["gamma", float("nan")]])
+    ns = {"m": "http://schemas.openxmlformats.org/spreadsheetml/2006/main"}
+    with zipfile.ZipFile(p) as z:
+        names = set(z.namelist())
+        assert {"[Content_Types].xml", "xl/workbook.xml",
+                "xl/worksheets/sheet1.xml"} <= names
+        root = ET.fromstring(z.read("xl/worksheets/sheet1.xml"))
+    rows = root.findall(".//m:row", ns)
+    assert len(rows) == 4
+    header = [c.find("m:is/m:t", ns).text for c in rows[0].findall("m:c", ns)]
+    assert header == ["name", "value"]
+    row1 = rows[1].findall("m:c", ns)
+    assert row1[0].find("m:is/m:t", ns).text == "alpha"
+    assert float(row1[1].find("m:v", ns).text) == 1.5
+    # NaN -> blank cell (no <c> emitted)
+    assert len(rows[3].findall("m:c", ns)) == 1
+
+
+def test_export_basin_analysis_products(tmp_path, rng):
+    """Per-basin XLSX + CSV + PNG products (reference Basin_TWSA notebook
+    exports XLSX + PNG per basin)."""
+    import zipfile
+
+    from gan_danet_tpu.evaluation.basins import export_basin_analysis
+
+    t, h, w = 6, 8, 10
+    cube_d = rng.standard_normal((t, 2 * h, 2 * w))
+    cube_g = rng.standard_normal((t, h, w))
+    mask_h = np.zeros((2 * h, 2 * w), bool)
+    mask_h[2:10, 2:12] = True
+    mask_l = np.zeros((h, w), bool)
+    mask_l[1:5, 1:6] = True
+    export_basin_analysis(cube_d, cube_g, {"Indus": mask_l},
+                          {"Indus": mask_h}, tmp_path)
+    assert (tmp_path / "basin_Indus.csv").exists()
+    assert (tmp_path / "basin_Indus.png").exists()
+    x = tmp_path / "basin_Indus.xlsx"
+    assert x.exists() and zipfile.is_zipfile(x)
