@@ -78,11 +78,15 @@ def make_train_step(
                                              has_aux=True)
 
         # --- D update (fake detached) ---
+        # ONE batched apply over concat(real, fake): Discriminator1 has no
+        # cross-batch coupling (convs + LeakyReLU + linears, no BN), so this
+        # is semantics-preserving and halves dispatch/pipeline overhead at
+        # the small 88x180 spatial size.
         def d_loss_fn(d_params):
-            real_logits = discriminator.apply({"params": d_params}, real)
-            fake_logits = discriminator.apply(
-                {"params": d_params}, jax.lax.stop_gradient(fake))
-            return discriminator_loss(real_logits, fake_logits)
+            both = jnp.concatenate([real, jax.lax.stop_gradient(fake)], axis=0)
+            logits = discriminator.apply({"params": d_params}, both)
+            bsz = real.shape[0]
+            return discriminator_loss(logits[:bsz], logits[bsz:])
 
         loss_d, d_grads = jax.value_and_grad(d_loss_fn)(state.d_params)
         d_updates, new_d_opt = d_tx.update(d_grads, state.d_opt_state,
