@@ -71,7 +71,7 @@ def _pam_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, acc_ref, m_ref, l_ref,
     def _finalize():
         o_ref[0] = (acc_ref[:] / l_ref[:]).astype(o_ref.dtype)
         # log-sum-exp per query row, consumed by the backward kernels
-        lse_ref[0] = (m_ref[:] + jnp.log(l_ref[:]))[:, 0]
+        lse_ref[0] = m_ref[:] + jnp.log(l_ref[:])      # (bq, 1)
 
 
 def _block_plan(n: int, block_q: int, block_k: int):
@@ -138,12 +138,14 @@ def pam_flash_forward(
         out_specs=[
             pl.BlockSpec((1, bq, c_pad), lambda ib, iq, ik: (ib, iq, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, bq), lambda ib, iq, ik: (ib, iq),
+            # (B, N, 1) layout: a 2-D (1, bq) block violates the (8, 128)
+            # tile rule whenever B > 1; trailing dim 1 is always legal
+            pl.BlockSpec((1, bq, 1), lambda ib, iq, ik: (ib, iq, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((b, n_pad, c_pad), v.dtype),
-            jax.ShapeDtypeStruct((b, n_pad), jnp.float32),
+            jax.ShapeDtypeStruct((b, n_pad, 1), jnp.float32),
         ],
         scratch_shapes=[
             pltpu.VMEM((bq, c_pad), jnp.float32),
@@ -159,7 +161,7 @@ def pam_flash_forward(
     )(qp, kp, vp)
 
     if return_lse:
-        return out[:, :n, :c], lse[:, :n]
+        return out[:, :n, :c], lse[:, :n, 0]
     return out[:, :n, :c]
 
 
@@ -181,8 +183,8 @@ def _pam_bwd_dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, dd_ref, dq_ref,
     k = k_ref[0]                                   # (bk, d)
     v = v_ref[0]                                   # (bk, c)
     do = do_ref[0].astype(jnp.float32)             # (bq, c)
-    lse = lse_ref[0][:, None]                      # (bq, 1)
-    dd = dd_ref[0][:, None]                        # (bq, 1) rowsum(dO*O)
+    lse = lse_ref[0]                               # (bq, 1)
+    dd = dd_ref[0]                                 # (bq, 1) rowsum(dO*O)
 
     e = jax.lax.dot_general(
         q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
@@ -217,8 +219,8 @@ def _pam_bwd_dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, dd_ref,
     k = k_ref[0]                                   # (bk, d)
     v = v_ref[0]                                   # (bk, c)
     do = do_ref[0].astype(jnp.float32)             # (bq, c)
-    lse = lse_ref[0][None, :]                      # (1, bq)
-    dd = dd_ref[0][None, :]                        # (1, bq)
+    lse = lse_ref[0].reshape(1, -1)                # (bq,1) -> (1, bq)
+    dd = dd_ref[0].reshape(1, -1)                  # (1, bq)
 
     # e^T block: (bk, bq); padded KEY rows produce garbage dk/dv rows that
     # the caller trims; padded QUERY columns vanish because dO and dd are
@@ -274,19 +276,21 @@ def pam_flash_backward(
     vp = jnp.pad(v, ((0, 0), (0, n_pad - n), (0, c_pad - c)))
     dop = jnp.pad(do.astype(jnp.float32),
                   ((0, 0), (0, n_pad - n), (0, c_pad - c)))
-    lsep = jnp.pad(lse.astype(jnp.float32), ((0, 0), (0, n_pad - n)))
+    # (B, N, 1) layout for per-row stats (2-D blocks break the tile rule
+    # for B > 1, see the forward lse spec)
+    lsep = jnp.pad(lse.astype(jnp.float32), ((0, 0), (0, n_pad - n)))[..., None]
     # D_i = sum_c dO_ic * O_ic (cheap elementwise; fused by XLA)
     dd = jnp.sum(do.astype(jnp.float32) * out.astype(jnp.float32), axis=-1)
-    ddp = jnp.pad(dd, ((0, 0), (0, n_pad - n)))
+    ddp = jnp.pad(dd, ((0, 0), (0, n_pad - n)))[..., None]
 
     q_spec = pl.BlockSpec((1, bq, d_pad), lambda ib, i, j: (ib, i, 0),
                           memory_space=pltpu.VMEM)
     row_specs = [
         pl.BlockSpec((1, bq, c_pad), lambda ib, i, j: (ib, i, 0),
                      memory_space=pltpu.VMEM),             # dO
-        pl.BlockSpec((1, bq), lambda ib, i, j: (ib, i),
+        pl.BlockSpec((1, bq, 1), lambda ib, i, j: (ib, i, 0),
                      memory_space=pltpu.VMEM),             # lse
-        pl.BlockSpec((1, bq), lambda ib, i, j: (ib, i),
+        pl.BlockSpec((1, bq, 1), lambda ib, i, j: (ib, i, 0),
                      memory_space=pltpu.VMEM),             # D
     ]
     kv_specs = [
@@ -313,9 +317,9 @@ def pam_flash_backward(
     row_specs2 = [
         pl.BlockSpec((1, bq, c_pad), lambda ib, i, j: (ib, j, 0),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, bq), lambda ib, i, j: (ib, j),
+        pl.BlockSpec((1, bq, 1), lambda ib, i, j: (ib, j, 0),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, bq), lambda ib, i, j: (ib, j),
+        pl.BlockSpec((1, bq, 1), lambda ib, i, j: (ib, j, 0),
                      memory_space=pltpu.VMEM),
     ]
     kv_specs2 = [
