@@ -254,6 +254,15 @@ def measure_detail() -> dict:
         f = lambda q, k, v, i=impl: pam_attention(q, k, v, impl=i)  # noqa: E731
         out[f"pam_{impl}_n{n}_ms"] = round(
             _timeit(f, q, k, v, iters=10) * 1e3, 2)
+    # full gradient: fused flash backward kernels vs XLA recompute-VJP
+    g = jnp.asarray(rng.standard_normal((1, n, c)), jnp.float32)
+    for impl in ("pallas", "xla"):
+        gf = jax.grad(
+            lambda q, k, v, i=impl: jnp.vdot(
+                pam_attention(q, k, v, impl=i), g),
+            argnums=(0, 1, 2))
+        out[f"pam_{impl}_grad_n{n}_ms"] = round(
+            _timeit(gf, q, k, v, iters=5) * 1e3, 2)
 
     # AE baseline (config #3)
     ae = Autoencoder(dtype="bfloat16")

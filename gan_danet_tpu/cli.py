@@ -141,7 +141,15 @@ def cmd_infer(args) -> int:
     out = args.out or "inference_out"
     fn = trainer.apply_fn()
     s1 = predict_025(fn, data, mask, export_dir=out)
-    s2 = predict_005(fn, data, mask,
+    fn2 = fn
+    if getattr(args, "tile", None):
+        # beyond-0.05deg memory headroom: run stage 2 tile-wise with halo
+        # blending instead of one whole-raster forward
+        from gan_danet_tpu.infer.tiling import tiled_apply_fn
+
+        th, tw = (int(x) for x in args.tile.split("x"))
+        fn2 = tiled_apply_fn(fn, (th, tw), overlap=args.tile_overlap)
+    s2 = predict_005(fn2, data, mask,
                      bias_high=s1.bias_high, stage1_series=s1.series_pred,
                      export_dir=out)
     print(json.dumps({"out_dir": out, "pearson_025": s1.pearson_r,
@@ -260,6 +268,11 @@ def main(argv=None) -> int:
                                 "reference trains on pretrained VGG19)")
         if name == "infer":
             p.add_argument("--checkpoint")
+            p.add_argument("--tile",
+                           help="run stage 2 tile-wise, e.g. '44x90' "
+                                "(HxW input tile); default whole-raster")
+            p.add_argument("--tile-overlap", dest="tile_overlap", type=int,
+                           default=8)
         if name in ("train", "infer"):
             p.add_argument("--model", choices=["danet", "hat"],
                            default="danet")

@@ -43,6 +43,13 @@ def test_cli_train_then_infer(tiny_cfg, tmp_path, capsys):
     assert -1 <= out["pearson_025"] <= 1
     assert (tmp_path / "inf" / "downscaled.h5").exists()
 
+    # tiled stage-2 path (infer/tiling.py): same products, finite score
+    assert main(["infer", "--config", tiny_cfg, "--tile", "8x10",
+                 "--tile-overlap", "4", "--out", str(tmp_path / "inft")]) == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert -1 <= out["pearson_005"] <= 1
+    assert (tmp_path / "inft" / "downscaled.h5").exists()
+
 
 def test_cli_diffusion(tiny_cfg, tmp_path, capsys):
     assert main(["diffusion", "--config", tiny_cfg, "--epochs", "1",
