@@ -26,8 +26,6 @@ TPU-first implementations:
 """
 from __future__ import annotations
 
-import functools
-from typing import Optional
 
 import jax
 import jax.numpy as jnp

@@ -25,7 +25,7 @@ from gan_danet_tpu.core.config import ExperimentConfig
 from gan_danet_tpu.core.logger import MetricsLogger
 from gan_danet_tpu.data.dataset import ArrayDataset, apply_augmentation
 from gan_danet_tpu.data.scalers import as_scaler_stats
-from gan_danet_tpu.train.gan import GANTrainState, init_gan_state
+from gan_danet_tpu.train.gan import init_gan_state
 from gan_danet_tpu.train.loops import (
     dataset_to_device,
     make_epoch_fn,

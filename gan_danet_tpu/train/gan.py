@@ -17,15 +17,13 @@ configurable bf16 with f32 params/BN stats.
 """
 from __future__ import annotations
 
-import functools
-from typing import Any, Callable, Dict, Optional, Tuple
+from typing import Any, Callable, Dict, Tuple
 
 import jax
 import jax.numpy as jnp
 import optax
 from flax import struct
 
-from gan_danet_tpu.core.config import TrainConfig
 from gan_danet_tpu.models.losses import GeneratorLoss, discriminator_loss
 from gan_danet_tpu.ops.resize import resize2d
 

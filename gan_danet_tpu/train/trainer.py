@@ -10,7 +10,6 @@ reports MSE/MAE/R2/corrcoef over flattened standardized pixels.
 """
 from __future__ import annotations
 
-import copy
 from typing import Dict, Optional, Tuple
 
 import jax
@@ -18,11 +17,7 @@ import jax.numpy as jnp
 import numpy as np
 import optax
 
-from gan_danet_tpu.core.config import (
-    DiscriminatorConfig,
-    ExperimentConfig,
-    GeneratorConfig,
-)
+from gan_danet_tpu.core.config import ExperimentConfig, GeneratorConfig
 from gan_danet_tpu.core.logger import MetricsLogger
 from gan_danet_tpu.data.dataset import (
     ArrayDataset,

@@ -5,7 +5,6 @@ import numpy as np
 import pytest
 
 import jax
-import jax.numpy as jnp
 
 from gan_danet_tpu.core.config import (
     DiscriminatorConfig,
