@@ -15,6 +15,41 @@ TPU-first:
   * overlaps are blended with separable linear feathering ramps and a final
     weight normalisation, the same maths as the reference's `smooth_blend`
     edge feathering (test.ipynb:482) generalised to interior seams.
+
+Semantics under tiling — GLOBAL attention becomes TILE-LOCAL
+------------------------------------------------------------
+PAM attends over every position of its input and CAM grams every channel
+pair over the whole raster (reference models/generator.py:104-139), so
+tiling is NOT a partition of the whole-raster computation: each tile's
+attention receptive field silently shrinks to the tile (+nothing beyond
+it). The reference never tiles (whole-raster only); this approximation is
+new to this design and only matters beyond the 0.05deg grid where the
+whole raster no longer fits.
+
+The error is bounded empirically in tests/test_tiling.py
+(test_tile_local_attention_error_band), which separates the two error
+sources on a smooth GRACE-like field through a DANet generator:
+
+  * conv-path seam error (attention gammas zeroed): small and shrinking
+    with overlap (rel-RMS 0.07 -> 0.05 from overlap 4 -> 8 at tile 16);
+    this is what feathering fixes;
+  * attention receptive-field error (gammas active): the dominant term
+    (rel-RMS ~0.29 for a random-weight generator with gamma=0.5) and
+    essentially overlap-INSENSITIVE — it is not a seam artifact, so more
+    overlap cannot buy it back. The test fails if either band degrades.
+
+Practical guidance for `--tile`/`--tile-overlap`:
+
+  * pick the largest tile that fits HBM (attention cost is (th*tw)^2) —
+    a bigger attention window beats any amount of feathering;
+  * overlap ~25% of the tile edge is enough to keep the conv-path seam
+    error negligible; beyond that, extra overlap only costs compute;
+  * fields with long-range structure that PAM genuinely exploits
+    (teleconnections across the full plateau) lose that coupling under
+    tiling — validate against a whole-raster run on a downsampled grid
+    before trusting tiled products. (Trained GRACE generators sit far
+    below the random-weight band: their gamma magnitudes are learned
+    small, see DESIGN.md §3.)
 """
 from __future__ import annotations
 
@@ -70,9 +105,12 @@ def tiled_apply(
     pos = np.stack(np.meshgrid(ys, xs, indexing="ij"), axis=-1).reshape(-1, 2)
 
     s = upscale
+    # clamp per-axis so the two ramps of a tile never overlap each other
+    # (overlap > tile would otherwise make _feather's end-ramp overwrite
+    # its start-ramp, or overrun the profile entirely)
     ramp = overlap * s // 2
-    wy = _feather(th * s, ramp)
-    wx = _feather(tw * s, ramp)
+    wy = _feather(th * s, min(ramp, th * s // 2))
+    wx = _feather(tw * s, min(ramp, tw * s // 2))
     tile_weight = jnp.asarray(np.outer(wy, wx))[None, :, :, None]
 
     # probe output channel count without running the device computation

