@@ -112,6 +112,137 @@ def test_hat_forward_parity(ref_hat, rng):
     np.testing.assert_allclose(got, want, rtol=1e-3, atol=2e-4)
 
 
+def test_gan_train_step_numeric_parity(ref_models, rng):
+    """Data-independent ONE-STEP (x2) training parity (round-2 verdict top
+    item): the reference's own torch generator + Discriminator1 and our
+    jitted GAN step start from IDENTICAL ported weights, see the SAME
+    batch, and run the reference train loop's exact per-batch program
+    (GAN_DANet_train.ipynb cell 0 :216-260 — one G forward in train mode,
+    D update on the detached fake, G update against the UPDATED D with
+    (1-w)*MSE + w*adv + TV, matched AdamW(0.5, 0.999, wd 1e-4)). loss_d /
+    loss_g must agree numerically on BOTH steps (step 2 also proves
+    optimizer-state parity: Adam m/v from step 1 feed step 2), and every
+    post-step parameter leaf must agree to <=1e-3 (Adam's step-1 update is
+    +-lr*sign(g) wherever |g| >> eps, so 1e-3 bounds even a sign flip on a
+    noise-level gradient)."""
+    import torch.nn.functional as F
+
+    import jax
+    import optax
+
+    from gan_danet_tpu.core.config import LossConfig
+    from gan_danet_tpu.models.losses import GeneratorLoss
+    from gan_danet_tpu.train.gan import GANTrainState, make_train_step
+
+    gen_mod, disc_mod = ref_models
+    torch.manual_seed(7)
+    ref_gen = gen_mod.FlexibleUpsamplingModule(
+        input_channels=8, attention_type="danet", num_blocks=2,
+        num_layers_per_block=2).train()
+    ref_disc = disc_mod.Discriminator1().train()
+
+    b, ch_aux = 4, 7
+    lr05 = rng.standard_normal((b, 8, 10, 1)).astype(np.float32)
+    lr025 = rng.standard_normal((b, 16, 20, 1)).astype(np.float32)
+    aux = rng.standard_normal((b, 16, 20, ch_aux)).astype(np.float32)
+    lr05_t = torch.from_numpy(lr05).permute(0, 3, 1, 2)
+    lr025_t = torch.from_numpy(lr025).permute(0, 3, 1, 2)
+    aux_t = torch.from_numpy(aux).permute(0, 3, 1, 2)
+
+    # materialise LazyLinear before state_dict export / optimizer creation
+    with torch.no_grad():
+        ref_disc(lr025_t)
+    sd_g = {k: v.detach().numpy() for k, v in ref_gen.state_dict().items()}
+    sd_d = {k: v.detach().numpy() for k, v in ref_disc.state_dict().items()}
+
+    opt_g = torch.optim.AdamW(ref_gen.parameters(), lr=2e-4,
+                              betas=(0.5, 0.999), weight_decay=1e-4)
+    opt_d = torch.optim.AdamW(ref_disc.parameters(), lr=4e-4,
+                              betas=(0.5, 0.999), weight_decay=1e-4)
+    bce = torch.nn.BCEWithLogitsLoss()
+    mse_t = torch.nn.MSELoss()
+
+    def ref_tv(x):  # reference TVLoss(weight=1e-5) forward, losses.py:76-87
+        h_tv = (x[:, :, 1:] - x[:, :, :-1]).pow(2)
+        w_tv = (x[:, :, :, 1:] - x[:, :, :, :-1]).pow(2)
+        return 1e-5 * 2 * (h_tv.sum() / h_tv.numel()
+                           + w_tv.sum() / w_tv.numel()) / x.size(0)
+
+    def torch_step(w):
+        lr = F.interpolate(lr05_t, scale_factor=0.5, mode="bicubic",
+                           align_corners=False)
+        da = F.interpolate(aux_t, scale_factor=0.25, mode="bicubic",
+                           align_corners=False)
+        fake = ref_gen(torch.cat([lr, da], dim=1))
+        opt_d.zero_grad()
+        r_log = ref_disc(lr025_t)
+        f_log = ref_disc(fake.detach())
+        loss_d = 0.5 * (bce(r_log, torch.ones_like(r_log))
+                        + bce(f_log, torch.zeros_like(f_log)))
+        loss_d.backward()
+        opt_d.step()
+        opt_g.zero_grad()
+        f_log = ref_disc(fake)              # the UPDATED discriminator
+        loss_g = ((1 - w) * mse_t(fake, lr025_t)
+                  + w * bce(f_log, torch.ones_like(f_log)) + ref_tv(fake))
+        loss_g.backward()
+        opt_g.step()
+        return float(loss_d), float(loss_g)
+
+    # --- our side: identical ported weights, fresh optimizer states ---
+    cfg = GeneratorConfig(input_channels=8, num_blocks=2,
+                          num_layers_per_block=2, use_pallas_attention=False)
+    ours_gen = FlexibleUpsamplingModule(cfg)
+    ours_disc = Discriminator1(input_hw=(16, 20))
+    g_params, g_stats = port_generator(sd_g, cfg)
+    d_params = port_discriminator1(sd_d, input_hw=(16, 20))
+    g_params = jax.tree.map(jnp.asarray, g_params)
+    g_stats = jax.tree.map(jnp.asarray, g_stats)
+    d_params = jax.tree.map(jnp.asarray, d_params)
+    g_tx = optax.adamw(2e-4, b1=0.5, b2=0.999, weight_decay=1e-4)
+    d_tx = optax.adamw(4e-4, b1=0.5, b2=0.999, weight_decay=1e-4)
+    state = GANTrainState(
+        step=jnp.zeros((), jnp.int32),
+        g_params=g_params, g_batch_stats=g_stats,
+        g_opt_state=g_tx.init(g_params),
+        d_params=d_params, d_opt_state=d_tx.init(d_params))
+    step = make_train_step(ours_gen, ours_disc,
+                           GeneratorLoss(LossConfig(use_perceptual=False)),
+                           g_tx, d_tx, (4, 5), jnp.float32)
+    batch = {"lr05": jnp.asarray(lr05), "lr025": jnp.asarray(lr025),
+             "aux": jnp.asarray(aux)}
+
+    for step_i, w in enumerate((0.25, 0.25)):  # two steps, fixed curriculum w
+        want_d, want_g = torch_step(w)
+        state, metrics = step(state, batch, jnp.float32(w))
+        np.testing.assert_allclose(float(metrics["loss_d"]), want_d,
+                                   rtol=1e-3, atol=1e-4)
+        np.testing.assert_allclose(float(metrics["loss_g"]), want_g,
+                                   rtol=1e-3, atol=1e-4)
+        if step_i == 0:
+            # every post-step-1 parameter leaf agrees: Adam's first update
+            # is lr*g/(|g|+eps), so a sign flip on a noise-level gradient
+            # drifts at most 2*lr (G 4e-4, D 8e-4) — both under 1e-3.
+            # (After step 2 the worst-case D drift is 1.6e-3, so the
+            # <=1e-3 leaf check lives here; step 2's matching losses above
+            # prove optimizer-state parity instead.)
+            post_g, _ = port_generator(
+                {k: v.detach().numpy()
+                 for k, v in ref_gen.state_dict().items()}, cfg)
+            post_d = port_discriminator1(
+                {k: v.detach().numpy()
+                 for k, v in ref_disc.state_dict().items()},
+                input_hw=(16, 20))
+            jax.tree.map(
+                lambda a, b: np.testing.assert_allclose(
+                    np.asarray(a), b, atol=1e-3),
+                state.g_params, post_g)
+            jax.tree.map(
+                lambda a, b: np.testing.assert_allclose(
+                    np.asarray(a), b, atol=1e-3),
+                state.d_params, post_d)
+
+
 def test_generator_parity_in_train_mode(ref_models, rng):
     """Batch-stats mode too: torch train() BN uses batch statistics, as
     does our train=True path."""
