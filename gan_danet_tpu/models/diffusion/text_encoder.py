@@ -46,8 +46,8 @@ class EncoderBlock(nn.Module):
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         x = x + CausalSelfAttention(self.width, self.heads, name="attn")(
-            nn.LayerNorm(name="ln1")(x))
-        y = nn.LayerNorm(name="ln2")(x)
+            nn.LayerNorm(epsilon=1e-5, name="ln1")(x))
+        y = nn.LayerNorm(epsilon=1e-5, name="ln2")(x)
         y = nn.Dense(self.width * 4, name="fc1")(y)
         y = quick_gelu(y)
         y = nn.Dense(self.width, name="fc2")(y)
@@ -69,4 +69,4 @@ class TextEncoder(nn.Module):
         x = tok + pos[None, : input_ids.shape[1]]
         for i in range(self.layers):
             x = EncoderBlock(self.width, self.heads, name=f"block{i}")(x)
-        return nn.LayerNorm(name="final_ln")(x)
+        return nn.LayerNorm(epsilon=1e-5, name="final_ln")(x)

@@ -1,10 +1,28 @@
-"""Conditional UNet denoiser (behavioural parity: reference 3.unet.ipynb —
-SD-style down/mid/up path, sinusoidal timestep embedding through an MLP,
-transformer blocks with self-attention + cross-attention on context tokens
-+ GEGLU MLP). Sizes configurable; tiny defaults for GRACE latents."""
+"""Conditional UNet denoiser (numerical parity: reference 3.unet.ipynb —
+the SD-style UNet built from Resnet (cell 0), CrossAttention (cell 1),
+Transformer (cell 2), DownBlock (cell 3), UpBlock (cell 4) and the UNet
+top-level wiring (cell 5, :443), generalised over a `channels` tuple so
+small configurations exist for GRACE latents and CI.
+
+Topology (reference cell 5, channels (c0..cn)):
+  conv_in -> [DownBlock_i: (res, tf) x2, stride-2 conv] x n
+          -> down_res0, down_res1            (no transformer, lowest res)
+          -> mid: res, tf, res
+          -> up_res0..2 (skip concat, no tf) -> nearest-x2 upsample conv
+          -> [UpBlock_j: (skip concat, res, tf) x3, upsample unless last] x n
+          -> GroupNorm/SiLU/conv out
+with skip-connections popped in reverse push order (12 pushes / 12 pops at
+n=3 — the SD ladder). Weight-compatible with the reference torch modules
+via utils/torch_port.port_diffusion_unet (parity:
+tests/test_diffusion_port.py).
+
+TPU-first notes: everything is static-shape under jit; attention runs as
+batched einsums on the MXU with f32 accumulation; the time embedding is a
+closed-form sinusoid (no table lookups).
+"""
 from __future__ import annotations
 
-from typing import Tuple
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -13,7 +31,9 @@ from flax import linen as nn
 
 
 def timestep_embedding(t: jnp.ndarray, dim: int, max_period: float = 10000.0):
-    """Sinusoidal embedding, (B,) int -> (B, dim)."""
+    """Sinusoidal embedding, (B,) int -> (B, dim): freqs
+    exp(-log(1e4)*k/half), concat(cos, sin) — exactly the reference's
+    get_time_embed (3.unet.ipynb cell 5) at dim=320."""
     half = dim // 2
     freqs = jnp.exp(-np.log(max_period) * jnp.arange(half) / half)
     args = t.astype(jnp.float32)[:, None] * freqs[None]
@@ -21,17 +41,23 @@ def timestep_embedding(t: jnp.ndarray, dim: int, max_period: float = 10000.0):
 
 
 class ResnetTimeBlock(nn.Module):
+    """Reference Resnet (3.unet.ipynb cell 0): GN(32, eps 1e-5)/SiLU/conv,
+    + SiLU->Linear time projection, GN/SiLU/conv, 1x1 shortcut."""
+
     out_channels: int
+    eps: float = 1e-5
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, temb: jnp.ndarray) -> jnp.ndarray:
-        h = nn.GroupNorm(num_groups=min(32, x.shape[-1]), name="norm1")(x)
+        h = nn.GroupNorm(num_groups=min(32, x.shape[-1]), epsilon=self.eps,
+                         name="norm1")(x)
         h = nn.silu(h)
         h = nn.Conv(self.out_channels, (3, 3), padding=((1, 1), (1, 1)),
                     name="conv1")(h)
         h = h + nn.Dense(self.out_channels, name="time_proj")(
             nn.silu(temb))[:, None, None, :]
-        h = nn.GroupNorm(num_groups=min(32, self.out_channels), name="norm2")(h)
+        h = nn.GroupNorm(num_groups=min(32, self.out_channels),
+                         epsilon=self.eps, name="norm2")(h)
         h = nn.silu(h)
         h = nn.Conv(self.out_channels, (3, 3), padding=((1, 1), (1, 1)),
                     name="conv2")(h)
@@ -41,6 +67,9 @@ class ResnetTimeBlock(nn.Module):
 
 
 class CrossAttention(nn.Module):
+    """Reference CrossAttention (3.unet.ipynb cell 1): q/k/v bias-free,
+    8-way head split, (dim/heads)^-0.5 scaling, biased out projection."""
+
     dim: int
     heads: int = 8
 
@@ -64,32 +93,44 @@ class CrossAttention(nn.Module):
 
 
 class GEGLU(nn.Module):
+    """Reference Transformer act stage: one projection to 2*dim_out, split
+    into value and gate halves, value * GELU(gate) (exact erf GELU — torch
+    nn.GELU default)."""
+
     dim_out: int
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         y = nn.Dense(self.dim_out * 2, name="proj")(x)
         a, g = jnp.split(y, 2, axis=-1)
-        return a * nn.gelu(g)
+        return a * nn.gelu(g, approximate=False)
 
 
 class TransformerBlock(nn.Module):
+    """Pre-LN self-attn, cross-attn, GEGLU MLP with residuals (the token
+    core of reference Transformer, 3.unet.ipynb cell 2). torch LayerNorm
+    eps is 1e-5."""
+
     dim: int
     heads: int = 8
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, context: jnp.ndarray) -> jnp.ndarray:
-        y = nn.LayerNorm(name="ln1")(x)
+        y = nn.LayerNorm(epsilon=1e-5, name="ln1")(x)
         x = x + CrossAttention(self.dim, self.heads, name="self_attn")(y, y)
         x = x + CrossAttention(self.dim, self.heads, name="cross_attn")(
-            nn.LayerNorm(name="ln2")(x), context)
-        y = nn.LayerNorm(name="ln3")(x)
+            nn.LayerNorm(epsilon=1e-5, name="ln2")(x), context)
+        y = nn.LayerNorm(epsilon=1e-5, name="ln3")(x)
         y = GEGLU(self.dim * 4, name="geglu")(y)
         y = nn.Dense(self.dim, name="mlp_out")(y)
         return x + y
 
 
 class SpatialTransformer(nn.Module):
+    """Reference Transformer (3.unet.ipynb cell 2): GN(32, eps 1e-6) +
+    1x1 conv in, one TransformerBlock over flattened tokens, 1x1 conv out,
+    outer residual."""
+
     channels: int
     heads: int = 8
 
@@ -97,7 +138,7 @@ class SpatialTransformer(nn.Module):
     def __call__(self, x: jnp.ndarray, context: jnp.ndarray) -> jnp.ndarray:
         b, h, w, c = x.shape
         residual = x
-        y = nn.GroupNorm(num_groups=min(32, c), name="norm")(x)
+        y = nn.GroupNorm(num_groups=min(32, c), epsilon=1e-6, name="norm")(x)
         y = nn.Conv(self.channels, (1, 1), name="proj_in")(y)
         y = y.reshape(b, h * w, self.channels)
         y = TransformerBlock(self.channels, self.heads, name="block")(y, context)
@@ -106,54 +147,86 @@ class SpatialTransformer(nn.Module):
         return y + residual
 
 
+class _UpsampleConv(nn.Module):
+    """torch nn.Upsample(scale 2, nearest) + Conv3x3 (reference up_in and
+    UpBlock.out)."""
+
+    channels: int
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        b, h, w, c = x.shape
+        x = jax.image.resize(x, (b, 2 * h, 2 * w, c), "nearest")
+        return nn.Conv(self.channels, (3, 3), padding=((1, 1), (1, 1)),
+                       name="conv")(x)
+
+
 class UNet(nn.Module):
+    """SD-style conditional UNet, reference 3.unet.ipynb cell 5 topology
+    generalised over `channels` (reference: (320, 640, 1280), context 768,
+    8 heads, fourier dim 320, time dim 1280)."""
+
     in_channels: int = 4
     out_channels: int = 4
-    channels: Tuple[int, ...] = (64, 128, 256)
+    channels: Tuple[int, ...] = (320, 640, 1280)
     context_dim: int = 768
     heads: int = 8
+    fourier_dim: Optional[int] = None   # default: channels[0]
+    time_dim: Optional[int] = None      # default: 4 * channels[0]
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, context: jnp.ndarray,
                  t: jnp.ndarray) -> jnp.ndarray:
-        temb = timestep_embedding(t, self.channels[0])
-        temb = nn.Dense(self.channels[0] * 4, name="time_fc1")(temb)
+        fd = self.fourier_dim or self.channels[0]
+        td = self.time_dim or 4 * self.channels[0]
+        heads = self.heads
+        temb = timestep_embedding(t, fd)
+        temb = nn.Dense(td, name="time_fc1")(temb)
         temb = nn.silu(temb)
-        temb = nn.Dense(self.channels[0] * 4, name="time_fc2")(temb)
-
-        ctx = nn.Dense(self.channels[-1], name="context_proj")(context) \
-            if context.shape[-1] != self.channels[-1] else context
+        temb = nn.Dense(td, name="time_fc2")(temb)
 
         x = nn.Conv(self.channels[0], (3, 3), padding=((1, 1), (1, 1)),
                     name="conv_in")(x)
         skips = [x]
+        # --- down: every DownBlock is (res, tf) x2 + stride-2 conv ---
         for i, ch in enumerate(self.channels):
-            x = ResnetTimeBlock(ch, name=f"down{i}_res0")(x, temb)
-            x = SpatialTransformer(ch, self.heads, name=f"down{i}_attn")(x, ctx)
-            skips.append(x)
-            if i != len(self.channels) - 1:
-                x = nn.Conv(ch, (3, 3), strides=(2, 2),
-                            padding=((1, 1), (1, 1)), name=f"down{i}_ds")(x)
+            for k in range(2):
+                x = ResnetTimeBlock(ch, name=f"down{i}_res{k}")(x, temb)
+                x = SpatialTransformer(ch, heads, name=f"down{i}_tf{k}")(
+                    x, context)
                 skips.append(x)
+            x = nn.Conv(ch, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)),
+                        name=f"down{i}_ds")(x)
+            skips.append(x)
+        ch_last = self.channels[-1]
+        x = ResnetTimeBlock(ch_last, name="down_res0")(x, temb)
+        skips.append(x)
+        x = ResnetTimeBlock(ch_last, name="down_res1")(x, temb)
+        skips.append(x)
 
-        x = ResnetTimeBlock(self.channels[-1], name="mid_res0")(x, temb)
-        x = SpatialTransformer(self.channels[-1], self.heads,
-                               name="mid_attn")(x, ctx)
-        x = ResnetTimeBlock(self.channels[-1], name="mid_res1")(x, temb)
+        # --- mid ---
+        x = ResnetTimeBlock(ch_last, name="mid_res0")(x, temb)
+        x = SpatialTransformer(ch_last, heads, name="mid_tf")(x, context)
+        x = ResnetTimeBlock(ch_last, name="mid_res1")(x, temb)
 
-        for i, ch in enumerate(reversed(self.channels)):
-            skip = skips.pop()
-            x = jnp.concatenate([x, skip], axis=-1)
-            x = ResnetTimeBlock(ch, name=f"up{i}_res0")(x, temb)
-            x = SpatialTransformer(ch, self.heads, name=f"up{i}_attn")(x, ctx)
-            if i != len(self.channels) - 1:
-                b, h, w, c = x.shape
-                x = jax.image.resize(x, (b, 2 * h, 2 * w, c), "nearest")
-                x = nn.Conv(ch, (3, 3), padding=((1, 1), (1, 1)),
-                            name=f"up{i}_us")(x)
-                skips.pop()  # drop the pre-downsample skip at this level
+        # --- up: 3 plain resnets at the bottom, then UpBlocks ---
+        for j in range(3):
+            x = ResnetTimeBlock(ch_last, name=f"up_res{j}")(
+                jnp.concatenate([x, skips.pop()], axis=-1), temb)
+        x = _UpsampleConv(ch_last, name="up_in")(x)
 
-        x = nn.GroupNorm(num_groups=min(32, x.shape[-1]), name="norm_out")(x)
+        up_out = list(reversed(self.channels))     # UpBlock output widths
+        for j, ch in enumerate(up_out):
+            for k in range(3):
+                x = ResnetTimeBlock(ch, name=f"up{j}_res{k}")(
+                    jnp.concatenate([x, skips.pop()], axis=-1), temb)
+                x = SpatialTransformer(ch, heads, name=f"up{j}_tf{k}")(
+                    x, context)
+            if j != len(up_out) - 1:
+                x = _UpsampleConv(ch, name=f"up{j}_us")(x)
+
+        x = nn.GroupNorm(num_groups=min(32, x.shape[-1]), epsilon=1e-5,
+                         name="norm_out")(x)
         x = nn.silu(x)
         return nn.Conv(self.out_channels, (3, 3), padding=((1, 1), (1, 1)),
                        name="conv_out")(x)

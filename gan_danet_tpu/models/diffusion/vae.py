@@ -1,7 +1,23 @@
-"""Convolutional VAE (behavioural parity: reference 2.vae.ipynb — SD-style
-factor-8 encoder/decoder with resnet blocks, a mid self-attention block,
-4-channel diagonal-gaussian latents, 0.18215 scaling convention). Sizes
-configurable; tiny defaults suit GRACE rasters and CI."""
+"""Convolutional VAE (numerical parity: reference 2.vae.ipynb — the
+SD-style factor-2^(n-1) encoder/decoder built from Resnet (cell 0), Atten
+(cell 1), Pad (cell 2) and the VAE topology (cell 3, :221), generalised
+over a `channels` tuple so small configurations exist for GRACE rasters
+and CI. Reference dims: channels (128, 256, 512, 512), latent 4, RGB).
+
+Topology (per reference cell 3):
+  encoder: conv_in -> [Resnet x2, asym-pad + VALID stride-2 conv
+           (downsample on all but the last stage)] x n
+           -> mid (Resnet, Atten, Resnet) -> GN/SiLU/conv to 2*latent
+           -> 1x1 quant conv
+  decoder: 1x1 post-quant conv -> conv_in -> mid (Resnet, Atten, Resnet)
+           -> [Resnet x3, nearest-x2 + conv (upsample on all but the last
+           stage)] x n -> GN/SiLU/conv out
+All GroupNorms are (32 groups, eps 1e-6); the downsample is the
+reference's Pad module — zero-pad one row/col at the bottom/right, then a
+padding-0 stride-2 conv. Weight-compatible with the reference torch VAE
+via utils/torch_port.port_diffusion_vae (parity:
+tests/test_diffusion_port.py).
+"""
 from __future__ import annotations
 
 from typing import Tuple
@@ -12,15 +28,20 @@ from flax import linen as nn
 
 
 class ResnetBlock(nn.Module):
+    """Reference Resnet (2.vae.ipynb cell 0): GN(32, eps 1e-6)/SiLU/conv
+    x2 with a 1x1 shortcut when widths change."""
+
     out_channels: int
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
-        h = nn.GroupNorm(num_groups=min(32, x.shape[-1]), name="norm1")(x)
+        h = nn.GroupNorm(num_groups=min(32, x.shape[-1]), epsilon=1e-6,
+                         name="norm1")(x)
         h = nn.silu(h)
         h = nn.Conv(self.out_channels, (3, 3), padding=((1, 1), (1, 1)),
                     name="conv1")(h)
-        h = nn.GroupNorm(num_groups=min(32, self.out_channels), name="norm2")(h)
+        h = nn.GroupNorm(num_groups=min(32, self.out_channels), epsilon=1e-6,
+                         name="norm2")(h)
         h = nn.silu(h)
         h = nn.Conv(self.out_channels, (3, 3), padding=((1, 1), (1, 1)),
                     name="conv2")(h)
@@ -30,10 +51,13 @@ class ResnetBlock(nn.Module):
 
 
 class SelfAttentionBlock(nn.Module):
+    """Reference Atten (2.vae.ipynb cell 1): GN, single-head q/k/v/out
+    Linears (with bias), C^-0.5 scaling, residual."""
+
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:  # (B,H,W,C)
         b, h, w, c = x.shape
-        y = nn.GroupNorm(num_groups=min(32, c), name="norm")(x)
+        y = nn.GroupNorm(num_groups=min(32, c), epsilon=1e-6, name="norm")(x)
         t = y.reshape(b, h * w, c)
         q = nn.Dense(c, name="q")(t)
         k = nn.Dense(c, name="k")(t)
@@ -45,6 +69,12 @@ class SelfAttentionBlock(nn.Module):
         out = jnp.einsum("bnm,bmc->bnc", attn, v)
         out = nn.Dense(c, name="proj")(out).reshape(b, h, w, c)
         return x + out
+
+
+def _pad_downsample(x: jnp.ndarray) -> jnp.ndarray:
+    """Reference Pad (2.vae.ipynb cell 2): zero-pad one row/col at the
+    bottom/right; the following conv is stride-2 with no padding."""
+    return jnp.pad(x, ((0, 0), (0, 1), (0, 1), (0, 0)))
 
 
 class Encoder(nn.Module):
@@ -59,25 +89,29 @@ class Encoder(nn.Module):
             x = ResnetBlock(ch, name=f"down{i}_res0")(x)
             x = ResnetBlock(ch, name=f"down{i}_res1")(x)
             if i != len(self.channels) - 1:
-                x = nn.Conv(ch, (3, 3), strides=(2, 2),
-                            padding=((1, 1), (1, 1)), name=f"down{i}_conv")(x)
+                x = nn.Conv(ch, (3, 3), strides=(2, 2), padding="VALID",
+                            name=f"down{i}_conv")(_pad_downsample(x))
         x = ResnetBlock(self.channels[-1], name="mid_res0")(x)
         x = SelfAttentionBlock(name="mid_attn")(x)
         x = ResnetBlock(self.channels[-1], name="mid_res1")(x)
-        x = nn.GroupNorm(num_groups=min(32, self.channels[-1]),
+        x = nn.GroupNorm(num_groups=min(32, self.channels[-1]), epsilon=1e-6,
                          name="norm_out")(x)
         x = nn.silu(x)
-        # mean + logvar
-        return nn.Conv(2 * self.latent_channels, (3, 3),
-                       padding=((1, 1), (1, 1)), name="conv_out")(x)
+        x = nn.Conv(2 * self.latent_channels, (3, 3),
+                    padding=((1, 1), (1, 1)), name="conv_out")(x)
+        # the reference's trailing 1x1 "distribution" conv (quant_conv)
+        return nn.Conv(2 * self.latent_channels, (1, 1), name="quant_conv")(x)
 
 
 class Decoder(nn.Module):
     channels: Tuple[int, ...] = (256, 128, 64)
     out_channels: int = 1
+    latent_channels: int = 4
 
     @nn.compact
     def __call__(self, z: jnp.ndarray) -> jnp.ndarray:
+        # the reference's leading 1x1 "distribution" conv (post_quant_conv)
+        z = nn.Conv(self.latent_channels, (1, 1), name="post_quant_conv")(z)
         x = nn.Conv(self.channels[0], (3, 3), padding=((1, 1), (1, 1)),
                     name="conv_in")(z)
         x = ResnetBlock(self.channels[0], name="mid_res0")(x)
@@ -86,12 +120,13 @@ class Decoder(nn.Module):
         for i, ch in enumerate(self.channels):
             x = ResnetBlock(ch, name=f"up{i}_res0")(x)
             x = ResnetBlock(ch, name=f"up{i}_res1")(x)
+            x = ResnetBlock(ch, name=f"up{i}_res2")(x)
             if i != len(self.channels) - 1:
                 b, h, w, c = x.shape
                 x = jax.image.resize(x, (b, 2 * h, 2 * w, c), "nearest")
                 x = nn.Conv(ch, (3, 3), padding=((1, 1), (1, 1)),
                             name=f"up{i}_conv")(x)
-        x = nn.GroupNorm(num_groups=min(32, self.channels[-1]),
+        x = nn.GroupNorm(num_groups=min(32, self.channels[-1]), epsilon=1e-6,
                          name="norm_out")(x)
         x = nn.silu(x)
         return nn.Conv(self.out_channels, (3, 3), padding=((1, 1), (1, 1)),
@@ -107,10 +142,13 @@ class VAE(nn.Module):
     def setup(self):
         self.encoder = Encoder(self.channels, self.latent_channels)
         self.decoder = Decoder(tuple(reversed(self.channels)),
-                               self.out_channels)
+                               self.out_channels, self.latent_channels)
 
     def encode(self, x: jnp.ndarray):
-        """-> (mean, logvar), each (B, H/f, W/f, latent_channels)."""
+        """-> (mean, logvar), each (B, H/f, W/f, latent_channels).
+        logvar is clipped to the stable range (the reference exponentiates
+        unclipped, 2.vae.ipynb cell 3 `sample`; values never reach the
+        clip bounds in practice)."""
         moments = self.encoder(x)
         mean, logvar = jnp.split(moments, 2, axis=-1)
         return mean, jnp.clip(logvar, -30.0, 20.0)

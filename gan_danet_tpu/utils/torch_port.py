@@ -171,6 +171,170 @@ def port_hat(
     return params
 
 
+def _norm(sd, prefix):
+    """torch GroupNorm/LayerNorm weight/bias -> flax scale/bias."""
+    return {"scale": sd[f"{prefix}.weight"], "bias": sd[f"{prefix}.bias"]}
+
+
+def port_text_encoder(state_dict: Dict[str, np.ndarray],
+                      layers: int = 12) -> dict:
+    """Reference CLIP text encoder state_dict (the torch Sequential built
+    in 1.encoder.ipynb cell 3: Embed, N x ClipEncoder, LayerNorm) ->
+    params for models/diffusion/text_encoder.TextEncoder."""
+    sd = state_dict
+    params: dict = {
+        "token_embed": {"embedding": sd["0.embed.weight"]},
+        "pos_embed": sd["0.pos_embed.weight"],
+    }
+    for i in range(layers):
+        t = i + 1
+        params[f"block{i}"] = {
+            "ln1": _norm(sd, f"{t}.s1.0"),
+            "attn": {
+                "q": _linear(sd, f"{t}.s1.1.q"),
+                "k": _linear(sd, f"{t}.s1.1.k"),
+                "v": _linear(sd, f"{t}.s1.1.v"),
+                "out": _linear(sd, f"{t}.s1.1.out"),
+            },
+            "ln2": _norm(sd, f"{t}.s2.0"),
+            "fc1": _linear(sd, f"{t}.s2.1"),
+            "fc2": _linear(sd, f"{t}.s3"),
+        }
+    params["final_ln"] = _norm(sd, f"{layers + 1}")
+    return params
+
+
+def _vae_resnet(sd, prefix):
+    """Reference 2.vae.ipynb Resnet (s: GN,SiLU,conv,GN,SiLU,conv + res)."""
+    out = {"norm1": _norm(sd, f"{prefix}.s.0"),
+           "conv1": _conv(sd, f"{prefix}.s.2"),
+           "norm2": _norm(sd, f"{prefix}.s.3"),
+           "conv2": _conv(sd, f"{prefix}.s.5")}
+    if f"{prefix}.res.weight" in sd:
+        out["shortcut"] = _conv(sd, f"{prefix}.res")
+    return out
+
+
+def _vae_atten(sd, prefix):
+    """Reference 2.vae.ipynb Atten (norm + single-head q/k/v/out)."""
+    return {"norm": _norm(sd, f"{prefix}.norm"),
+            "q": _linear(sd, f"{prefix}.q"),
+            "k": _linear(sd, f"{prefix}.k"),
+            "v": _linear(sd, f"{prefix}.v"),
+            "proj": _linear(sd, f"{prefix}.out")}
+
+
+def port_diffusion_vae(state_dict: Dict[str, np.ndarray],
+                       n_stages: int) -> dict:
+    """Reference VAE state_dict (2.vae.ipynb cell 3 Sequential layout;
+    n_stages = len(channels), reference 4) -> params for
+    models/diffusion/vae.VAE."""
+    sd = state_dict
+    n = n_stages
+    enc: dict = {"conv_in": _conv(sd, "encoder.0")}
+    for i in range(n):
+        s = i + 1
+        enc[f"down{i}_res0"] = _vae_resnet(sd, f"encoder.{s}.0")
+        enc[f"down{i}_res1"] = _vae_resnet(sd, f"encoder.{s}.1")
+        if i != n - 1:
+            enc[f"down{i}_conv"] = _conv(sd, f"encoder.{s}.2.1")
+    enc["mid_res0"] = _vae_resnet(sd, f"encoder.{n + 1}.0")
+    enc["mid_attn"] = _vae_atten(sd, f"encoder.{n + 1}.1")
+    enc["mid_res1"] = _vae_resnet(sd, f"encoder.{n + 1}.2")
+    enc["norm_out"] = _norm(sd, f"encoder.{n + 2}.0")
+    enc["conv_out"] = _conv(sd, f"encoder.{n + 2}.2")
+    enc["quant_conv"] = _conv(sd, f"encoder.{n + 3}")
+
+    dec: dict = {"post_quant_conv": _conv(sd, "decoder.0"),
+                 "conv_in": _conv(sd, "decoder.1"),
+                 "mid_res0": _vae_resnet(sd, "decoder.2.0"),
+                 "mid_attn": _vae_atten(sd, "decoder.2.1"),
+                 "mid_res1": _vae_resnet(sd, "decoder.2.2")}
+    for i in range(n):
+        s = i + 3
+        for k in range(3):
+            dec[f"up{i}_res{k}"] = _vae_resnet(sd, f"decoder.{s}.{k}")
+        if i != n - 1:
+            dec[f"up{i}_conv"] = _conv(sd, f"decoder.{s}.4")
+    dec["norm_out"] = _norm(sd, f"decoder.{n + 3}.0")
+    dec["conv_out"] = _conv(sd, f"decoder.{n + 3}.2")
+    return {"encoder": enc, "decoder": dec}
+
+
+def _unet_resnet(sd, prefix):
+    """Reference 3.unet.ipynb Resnet (time MLP + s0/s1 GN,SiLU,conv)."""
+    out = {"time_proj": _linear(sd, f"{prefix}.time.1"),
+           "norm1": _norm(sd, f"{prefix}.s0.0"),
+           "conv1": _conv(sd, f"{prefix}.s0.2"),
+           "norm2": _norm(sd, f"{prefix}.s1.0"),
+           "conv2": _conv(sd, f"{prefix}.s1.2")}
+    if f"{prefix}.res.weight" in sd:
+        out["shortcut"] = _conv(sd, f"{prefix}.res")
+    return out
+
+
+def _unet_cross_attn(sd, prefix):
+    return {"q": _linear(sd, f"{prefix}.q", bias=False),
+            "k": _linear(sd, f"{prefix}.k", bias=False),
+            "v": _linear(sd, f"{prefix}.v", bias=False),
+            "out": _linear(sd, f"{prefix}.out")}
+
+
+def _unet_transformer(sd, prefix):
+    """Reference 3.unet.ipynb Transformer -> flax SpatialTransformer."""
+    return {
+        "norm": _norm(sd, f"{prefix}.norm_in"),
+        "proj_in": _conv(sd, f"{prefix}.cnn_in"),
+        "block": {
+            "ln1": _norm(sd, f"{prefix}.norm_atten0"),
+            "self_attn": _unet_cross_attn(sd, f"{prefix}.atten1"),
+            "ln2": _norm(sd, f"{prefix}.norm_atten1"),
+            "cross_attn": _unet_cross_attn(sd, f"{prefix}.atten2"),
+            "ln3": _norm(sd, f"{prefix}.norm_act"),
+            "geglu": {"proj": _linear(sd, f"{prefix}.fc0")},
+            "mlp_out": _linear(sd, f"{prefix}.fc1"),
+        },
+        "proj_out": _conv(sd, f"{prefix}.cnn_out"),
+    }
+
+
+def port_diffusion_unet(state_dict: Dict[str, np.ndarray],
+                        n_levels: int = 3) -> dict:
+    """Reference UNet state_dict (3.unet.ipynb cell 5 attribute layout;
+    n_levels = len(channels), reference 3) -> params for
+    models/diffusion/unet.UNet."""
+    sd = state_dict
+    params: dict = {
+        "conv_in": _conv(sd, "in_vae"),
+        "time_fc1": _linear(sd, "in_time.0"),
+        "time_fc2": _linear(sd, "in_time.2"),
+    }
+    for i in range(n_levels):
+        base = f"down_block{i}"
+        for k in range(2):
+            params[f"down{i}_res{k}"] = _unet_resnet(sd, f"{base}.res{k}")
+            params[f"down{i}_tf{k}"] = _unet_transformer(sd, f"{base}.tf{k}")
+        params[f"down{i}_ds"] = _conv(sd, f"{base}.out")
+    params["down_res0"] = _unet_resnet(sd, "down_res0")
+    params["down_res1"] = _unet_resnet(sd, "down_res1")
+    params["mid_res0"] = _unet_resnet(sd, "mid_res0")
+    params["mid_tf"] = _unet_transformer(sd, "mid_tf")
+    params["mid_res1"] = _unet_resnet(sd, "mid_res1")
+    for j in range(3):
+        params[f"up_res{j}"] = _unet_resnet(sd, f"up_res{j}")
+    params["up_in"] = {"conv": _conv(sd, "up_in.1")}
+    for j in range(n_levels):
+        base = f"up_block{j}"
+        for k in range(3):
+            params[f"up{j}_res{k}"] = _unet_resnet(sd, f"{base}.res{k}")
+            params[f"up{j}_tf{k}"] = _unet_transformer(sd, f"{base}.tf{k}")
+        if j != n_levels - 1:
+            params[f"up{j}_us"] = {"conv": _conv(sd, f"{base}.out.1")}
+    params["norm_out"] = _norm(sd, "out.0")
+    params["conv_out"] = _conv(sd, "out.2")
+    return params
+
+
 def port_discriminator1(
     state_dict: Dict[str, np.ndarray],
     input_hw: Tuple[int, int] = (88, 180),

@@ -86,3 +86,84 @@ def test_features_prefix_keys_accepted(tmp_path):
 def test_random_fallback_warns():
     with pytest.warns(RuntimeWarning, match="randomly initialised VGG19"):
         init_vgg_params(TAPS, weights_path=None)
+
+
+def test_pretrained_vgg_wired_through_trainer(tmp_path):
+    """End-to-end: a torch VGG19 `features` .pth reaches a real training
+    run through LossConfig.vgg_weights_path (round-2 verdict item #5 —
+    previously no trainer-level test exercised the pretrained path).
+    Asserts (a) the loaded taps match a torch forward, and (b) the
+    perceptual term of an actual train epoch differs from the random-init
+    run (i.e. the file's weights, not the fallback, are in the loss)."""
+    import jax
+
+    from gan_danet_tpu.core.config import (
+        DiscriminatorConfig,
+        ExperimentConfig,
+        GeneratorConfig,
+        LossConfig,
+        TrainConfig,
+    )
+    from gan_danet_tpu.data.pipeline import load_data_with_augmentation
+    from gan_danet_tpu.data.synthetic import tiny_config
+    from gan_danet_tpu.models.losses import make_perceptual_loss
+    from gan_danet_tpu.train.trainer import ModelTrainer
+
+    torch.manual_seed(5)
+    tvgg = _torch_vgg19_features(max(TAPS)).eval()
+    path = tmp_path / "vgg19_synth.pth"
+    torch.save(tvgg.state_dict(), path)
+
+    # (a) the taps the trainer will close over match torch activations
+    module, params = init_vgg_params(TAPS, weights_path=str(path))
+    x = np.random.default_rng(1).standard_normal((1, 16, 20, 3)).astype(
+        np.float32)
+    taps = module.apply({"params": params}, jnp.asarray(x))
+    with torch.no_grad():
+        cur = torch.from_numpy(np.transpose(x, (0, 3, 1, 2)))
+        for i, layer in enumerate(tvgg):
+            cur = layer(cur)
+            if i == max(TAPS):
+                break
+        deepest = cur.numpy()
+    np.testing.assert_allclose(
+        np.transpose(np.asarray(taps[max(TAPS)]), (0, 3, 1, 2)), deepest,
+        rtol=1e-4, atol=1e-5)
+
+    # (b) train 2 epochs with the pretrained file vs the random fallback
+    dc = tiny_config(24)
+    data = load_data_with_augmentation(dc)
+
+    def run(vgg_path):
+        cfg = ExperimentConfig(
+            data=dc,
+            generator=GeneratorConfig(input_channels=46, num_blocks=2,
+                                      num_layers_per_block=2, growth_rate=8,
+                                      use_pallas_attention=False),
+            discriminator=DiscriminatorConfig(input_hw=dc.grid_025),
+            loss=LossConfig(use_perceptual=True, vgg_weights_path=vgg_path),
+            train=TrainConfig(epochs=2, batch_size=4, dtype="float32",
+                              seed=42),
+        )
+        trainer = ModelTrainer(cfg, data=data)
+        losses_g, _ = trainer.train()
+        return losses_g
+
+    with_weights = run(str(path))
+    with pytest.warns(RuntimeWarning, match="randomly initialised VGG19"):
+        random_init = run(None)
+    assert all(np.isfinite(with_weights)) and all(np.isfinite(random_init))
+    # same data/seeds/models — only the VGG taps differ, so the G losses
+    # (which include the perceptual term) must differ
+    assert not np.allclose(with_weights, random_init, rtol=1e-4)
+
+    # the perceptual loss itself sees the file weights
+    pl_file = make_perceptual_loss(TAPS, weights_path=str(path))
+    a = jnp.asarray(np.random.default_rng(2).standard_normal(
+        (1, 16, 20, 1)).astype(np.float32))
+    b = jnp.asarray(np.random.default_rng(3).standard_normal(
+        (1, 16, 20, 1)).astype(np.float32))
+    with pytest.warns(RuntimeWarning):
+        pl_rand = make_perceptual_loss(TAPS, weights_path=None)
+    assert float(pl_file(a, b)) != pytest.approx(float(pl_rand(a, b)),
+                                                 rel=1e-3)
