@@ -27,12 +27,22 @@ def make_ensemble_step(vmapped_step: Callable, mesh: Mesh) -> Callable:
 
     vmapped_step(states, batch, loss_weight) -> (states, metrics), with the
     leading axis of `states`/metrics being the member axis.
+
+    The returned callable is jitted for direct per-step use (dryrun, unit
+    tests); its `.raw` attribute is the unjitted shard_map wrapper so
+    callers can embed it inside a larger compiled program — in particular
+    train/loops.make_epoch_fn scans it into ONE program per epoch
+    (per-batch dispatch costs 8-60x wall time on remote TPU backends,
+    DESIGN.md §6; a multi-chip slice must not reinherit that tax).
     """
-    return jax.jit(jax.shard_map(
+    sharded = jax.shard_map(
         vmapped_step,
         mesh=mesh,
         in_specs=(P(ENSEMBLE_AXIS), P(), P()),
         out_specs=(P(ENSEMBLE_AXIS), P(ENSEMBLE_AXIS)),
         axis_names={ENSEMBLE_AXIS},
         check_vma=False,
-    ))
+    )
+    jitted = jax.jit(sharded)
+    jitted.raw = sharded
+    return jitted

@@ -23,7 +23,7 @@ import numpy as np
 
 from gan_danet_tpu.core.config import ExperimentConfig
 from gan_danet_tpu.core.logger import MetricsLogger
-from gan_danet_tpu.data.dataset import ArrayDataset, apply_augmentation
+from gan_danet_tpu.data.dataset import ArrayDataset
 from gan_danet_tpu.data.scalers import as_scaler_stats
 from gan_danet_tpu.train.gan import init_gan_state
 from gan_danet_tpu.train.loops import (
@@ -68,22 +68,22 @@ class EnsembleTrainer:
             from gan_danet_tpu.parallel.spmd import make_ensemble_step
 
             self._ensemble_step = make_ensemble_step(vmapped, mesh)
+            step_for_epoch = self._ensemble_step.raw
         else:
             self._ensemble_step = jax.jit(vmapped)
+            step_for_epoch = vmapped
         eval_single = self.base._eval_step
         self._ensemble_eval = jax.jit(jax.vmap(eval_single,
                                                in_axes=(0, 0, None)))
         self._predict_fn = make_scan_predict(self._ensemble_eval)
 
-        # single-device fast path: whole-epoch lax.scan over on-device
-        # batch gathers (same rationale as ModelTrainer._epoch_fn); the
-        # mesh path keeps per-batch dispatch (used by the multichip dryrun)
+        # whole-epoch lax.scan over on-device batch gathers on BOTH paths
+        # (same rationale as ModelTrainer._epoch_fn): on the mesh the scan
+        # wraps the shard_map step, so a multi-chip epoch is still one
+        # compiled program — no per-batch Python dispatch anywhere
         self._dev_train = None
         self._aug_key = jax.random.PRNGKey(config.train.seed)
-        if mesh is None:
-            self._epoch_fn = make_epoch_fn(vmapped, config.train.augment)
-        else:
-            self._epoch_fn = None
+        self._epoch_fn = make_epoch_fn(step_for_epoch, config.train.augment)
 
     # ------------------------------------------------------------------
     def train_ensemble(self):
@@ -94,30 +94,16 @@ class EnsembleTrainer:
         best_stats = None
         history = []
 
-        if self._epoch_fn is not None and self._dev_train is None:
+        if self._dev_train is None:
             self._dev_train = dataset_to_device(self.base.train_ds)
 
         for epoch in range(tc.epochs):
             lw = jnp.float32(epoch / tc.epochs)
             self._aug_key, ek = jax.random.split(self._aug_key)
-            if self._epoch_fn is not None:
-                idx = jnp.asarray(self.base._epoch_indices())
-                self.state, gs, _ = self._epoch_fn(self.state,
-                                                   self._dev_train, idx,
-                                                   lw, ek)
-                avg = np.asarray(gs.mean(axis=0))      # (members,)
-            else:
-                # device-resident per-step metrics; one host sync per epoch
-                step_losses = []
-                for batch in self.base.train_loader:
-                    batch = jax.tree.map(jnp.asarray, batch)
-                    if tc.augment:
-                        ek, k = jax.random.split(ek)
-                        batch = apply_augmentation(batch, k)
-                    self.state, metrics = self._ensemble_step(self.state,
-                                                              batch, lw)
-                    step_losses.append(metrics["loss_g"])
-                avg = np.mean(jax.device_get(step_losses), axis=0)
+            idx = jnp.asarray(self.base._epoch_indices())
+            self.state, gs, _ = self._epoch_fn(self.state, self._dev_train,
+                                               idx, lw, ek)
+            avg = np.asarray(gs.mean(axis=0))          # (members,)
             history.append(avg)
             self.logger.log("ensemble_epoch", epoch=epoch,
                             loss_g_mean=float(avg.mean()))
