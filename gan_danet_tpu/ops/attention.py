@@ -36,10 +36,16 @@ import jax.numpy as jnp
 # ---------------------------------------------------------------------------
 
 def _pam_naive(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray) -> jnp.ndarray:
-    """(B,N,d),(B,N,d),(B,N,C) -> (B,N,C). Materialises (B,N,N)."""
+    """(B,N,d),(B,N,d),(B,N,C) -> (B,N,C). Materialises (B,N,N).
+
+    Softmax runs in f32; the A@V matmul takes the attention weights back
+    in the INPUT dtype (bf16 rides the MXU at ~4x the f32 rate and halves
+    the (N,N) bytes) with f32 accumulation. For f32 inputs this is
+    exactly the all-f32 computation."""
     energy = jnp.einsum("bid,bjd->bij", q, k, preferred_element_type=jnp.float32)
     attn = jax.nn.softmax(energy, axis=-1)
-    return jnp.einsum("bij,bjc->bic", attn, v.astype(attn.dtype)).astype(v.dtype)
+    return jnp.einsum("bij,bjc->bic", attn.astype(v.dtype), v,
+                      preferred_element_type=jnp.float32).astype(v.dtype)
 
 
 def _pam_xla_blocked(
@@ -107,7 +113,15 @@ def pam_attention(
     impl: 'auto' | 'pallas' | 'xla' | 'naive'.
     """
     if impl == "auto":
-        impl = "pallas" if jax.default_backend() == "tpu" else "xla"
+        if jax.default_backend() == "tpu":
+            # below the memory wall the materialised (N,N) form is fully
+            # XLA-fused and slightly FASTER than the flash kernel (train
+            # spec N=990: 813 vs 806 samples/s on the full step, round-3
+            # measurement); the kernel pays off where (N,N) cannot live in
+            # HBM-bandwidth comfort (0.05deg spec N=15,840: (N,N) = 1 GiB)
+            impl = "naive" if q.shape[1] <= 2048 else "pallas"
+        else:
+            impl = "xla"
     if impl == "pallas":
         return _pam_flash(q, k, v)
     if impl == "xla":
@@ -129,9 +143,12 @@ def cam_attention(x_tokens: jnp.ndarray) -> jnp.ndarray:
     Faithful to CAMModule (models/generator.py:125-139) including the
     inverted-similarity max trick.
     """
-    xf = x_tokens.astype(jnp.float32)
-    gram = jnp.einsum("bnc,bnd->bcd", xf, xf, preferred_element_type=jnp.float32)
+    # keep the input dtype on the MXU (bf16 rides at ~4x f32 rate) with
+    # f32 accumulation; softmax state is f32 either way
+    gram = jnp.einsum("bnc,bnd->bcd", x_tokens, x_tokens,
+                      preferred_element_type=jnp.float32)
     energy = jnp.max(gram, axis=-1, keepdims=True) - gram
     attn = jax.nn.softmax(energy, axis=-1)
-    out = jnp.einsum("bcd,bnd->bnc", attn, xf)
+    out = jnp.einsum("bcd,bnd->bnc", attn.astype(x_tokens.dtype), x_tokens,
+                     preferred_element_type=jnp.float32)
     return out.astype(x_tokens.dtype)

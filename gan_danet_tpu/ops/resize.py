@@ -89,6 +89,10 @@ def resize2d(
     Matches torch `F.interpolate(x_nchw, size, mode=method,
     align_corners=False)` (verified in tests/test_resize.py against torch).
     """
+    # NOTE: the resample matrices deliberately stay f32 even for bf16
+    # activations — casting them to bf16 was measured NEUTRAL inside the
+    # fused train step (round-3 interleaved timing, DESIGN.md §8), so the
+    # extra precision is free.
     if x.ndim == 2:
         h_in, w_in = x.shape
         mh = jnp.asarray(resize_matrix(h_in, size[0], method))

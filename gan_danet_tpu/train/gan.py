@@ -57,6 +57,8 @@ def make_train_step(
     """Returns jitted step(state, batch, loss_weight) -> (state, metrics)."""
 
     def step(state: GANTrainState, batch, loss_weight):
+        # build_inputs stays f32 (bf16-before-resize was measured NEUTRAL
+        # inside the fused step — XLA overlaps the resize DMA; DESIGN.md §8)
         x = build_inputs(batch, coarse_hw).astype(compute_dtype)
         real = batch["lr025"].astype(compute_dtype)
 
