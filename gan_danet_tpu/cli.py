@@ -148,6 +148,10 @@ def cmd_infer(args) -> int:
         from gan_danet_tpu.infer.tiling import tiled_apply_fn
 
         th, tw = (int(x) for x in args.tile.split("x"))
+        print("note: --tile makes PAM/CAM attention TILE-LOCAL (their "
+              "receptive field shrinks to the tile); use the largest tile "
+              "that fits HBM and ~25% overlap — see infer/tiling.py for "
+              "the measured error band", file=sys.stderr)
         fn2 = tiled_apply_fn(fn, (th, tw), overlap=args.tile_overlap)
     s2 = predict_005(fn2, data, mask,
                      bias_high=s1.bias_high, stage1_series=s1.series_pred,

@@ -101,6 +101,24 @@ def _pam_flash_bwd(res, g):
 _pam_flash.defvjp(_pam_flash_fwd, _pam_flash_bwd)
 
 
+# Below this token count the fully-materialised (N,N) form is preferred on
+# TPU: XLA fuses the softmax into the two MXU matmuls and beats the flash
+# kernel inside the full train step (N=990: 805 -> 838 samples/s, round-3
+# interleaved measurement). Above it, (N,N) grows past HBM-bandwidth
+# comfort ((2048, 2048) f32 = 16 MiB per sample; the 0.05deg spec's
+# N=15,840 would be 1 GiB) and the O(block)-memory flash kernel wins.
+PAM_MATERIALISE_MAX_TOKENS = 2048
+
+
+def resolve_pam_impl(backend: str, n_tokens: int) -> str:
+    """impl='auto' policy: materialised below the memory wall on TPU,
+    flash kernel above, XLA-blocked scan everywhere else."""
+    if backend == "tpu":
+        return ("naive" if n_tokens <= PAM_MATERIALISE_MAX_TOKENS
+                else "pallas")
+    return "xla"
+
+
 def pam_attention(
     q: jnp.ndarray,
     k: jnp.ndarray,
@@ -113,15 +131,7 @@ def pam_attention(
     impl: 'auto' | 'pallas' | 'xla' | 'naive'.
     """
     if impl == "auto":
-        if jax.default_backend() == "tpu":
-            # below the memory wall the materialised (N,N) form is fully
-            # XLA-fused and slightly FASTER than the flash kernel (train
-            # spec N=990: 813 vs 806 samples/s on the full step, round-3
-            # measurement); the kernel pays off where (N,N) cannot live in
-            # HBM-bandwidth comfort (0.05deg spec N=15,840: (N,N) = 1 GiB)
-            impl = "naive" if q.shape[1] <= 2048 else "pallas"
-        else:
-            impl = "xla"
+        impl = resolve_pam_impl(jax.default_backend(), q.shape[1])
     if impl == "pallas":
         return _pam_flash(q, k, v)
     if impl == "xla":

@@ -60,6 +60,24 @@ def test_pam_dispatcher_cpu(rng):
     assert out.shape == (1, 64, 8)
 
 
+def test_pam_auto_impl_policy():
+    """'auto' picks the materialised form below the TPU memory wall
+    (train spec N=990 — measured faster than the flash kernel on the full
+    step), the flash kernel above it (0.05deg spec N=15,840 — (N,N) would
+    be 1 GiB), and the XLA-blocked scan off-TPU."""
+    from gan_danet_tpu.ops.attention import (
+        PAM_MATERIALISE_MAX_TOKENS,
+        resolve_pam_impl,
+    )
+
+    assert resolve_pam_impl("tpu", 990) == "naive"
+    assert resolve_pam_impl("tpu", PAM_MATERIALISE_MAX_TOKENS) == "naive"
+    assert resolve_pam_impl("tpu", PAM_MATERIALISE_MAX_TOKENS + 1) == "pallas"
+    assert resolve_pam_impl("tpu", 88 * 180) == "pallas"
+    assert resolve_pam_impl("cpu", 990) == "xla"
+    assert resolve_pam_impl("cpu", 10**6) == "xla"
+
+
 def test_pam_gradients_flow(rng):
     import jax
 
