@@ -123,6 +123,25 @@ def test_train_step_sharded_over_mesh(tiny_data):
                                float(m_sharded["loss_d"]), rtol=1e-3)
 
 
+def test_training_is_deterministic(tiny_data):
+    """Two trainers with identical config/data/seeds must produce
+    bit-identical loss histories and final params — guards the PRNG
+    plumbing (init seeds, shuffle order, augmentation keys) through the
+    compiled epoch scans. The reference's runs were NOT reproducible
+    (cuDNN nondeterminism, SURVEY.md §7); determinism here is a
+    deliberate upgrade."""
+    cfg = _tiny_experiment(epochs=2)
+    a, b = ModelTrainer(cfg, data=tiny_data), ModelTrainer(cfg, data=tiny_data)
+    lg_a, ld_a = a.train()
+    lg_b, ld_b = b.train()
+    np.testing.assert_array_equal(lg_a, lg_b)
+    np.testing.assert_array_equal(ld_a, ld_b)
+    jax.tree.map(
+        lambda x, y: np.testing.assert_array_equal(np.asarray(x),
+                                                   np.asarray(y)),
+        a.state.g_params, b.state.g_params)
+
+
 def test_checkpoint_resume_continues_epochs(tiny_data, tmp_path):
     """Full-state resume: a fresh trainer restoring a mid-run checkpoint
     continues from the recorded step count (curriculum weight included),
