@@ -192,14 +192,16 @@ def cmd_diffusion(args) -> int:
     ([_, _], [lr025, _], hr_aux, *_rest) = load_or_build_cache(
         cfg.data, augmented=False)
     h, w = lr025.shape[1:3]
-    # latent factor 2 => even dims required; crop to the nearest multiple
-    h -= h % 4
-    w -= w % 4
+    dcfg = DiffusionConfig(cond_channels=hr_aux.shape[-1], grad_accum=1,
+                           num_inference_steps=args.steps)
+    # the VAE downsamples 2^(stages-1); the SD-topology UNet downsamples at
+    # EVERY level (reference 3.unet.ipynb) — crop the raster so the latent
+    # divides cleanly through the whole ladder
+    div = 2 ** (len(dcfg.vae_channels) - 1) * 2 ** len(dcfg.unet_channels)
+    h -= h % div
+    w -= w % div
     img = lr025[..., None].astype(np.float32)[:, :h, :w]
     cond = hr_aux.astype(np.float32)[:, :h, :w]
-
-    dcfg = DiffusionConfig(cond_channels=cond.shape[-1], grad_accum=1,
-                           num_inference_steps=args.steps)
     ld = LatentDiffusion(dcfg, sample_image_hw=(h, w),
                          sample_cond_shape=(1, h, w, cond.shape[-1]))
     bs = min(args.batch_size or 4, img.shape[0])
