@@ -162,13 +162,16 @@ def measure_reference_cpu(max_seconds: float = 180.0) -> float:
         opt_g.step()
 
     one_step()  # warmup
+    # >= 15 iterations (~3.5 min at the measured ~0.9 samples/s) so the
+    # denominator of the headline ratio is not a 5-sample estimate
+    # (round-2 verdict weak #6)
     iters = 0
     t0 = time.perf_counter()
     while True:
         one_step()
         iters += 1
         dt = time.perf_counter() - t0
-        if iters >= 5 or dt > max_seconds:
+        if iters >= 15 or dt > max_seconds:
             break
     return BATCH * iters / dt
 
