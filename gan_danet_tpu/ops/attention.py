@@ -19,8 +19,8 @@ TPU-first implementations:
   * `pam_attention(..., impl='pallas')` — fused flash-style Pallas kernel
     with online softmax (gan_danet_tpu/ops/pallas/pam_kernel.py); the
     BACKWARD is a fused flash kernel too (blockwise energy recompute from
-    the saved log-sum-exp — measured 1.53x the XLA recompute-VJP for a
-    full grad at N=15,840 on v5e).
+    the saved log-sum-exp — measured ~1.4-1.5x the XLA recompute-VJP for
+    a full grad at N=15,840 on v5e).
   * `impl='naive'` — materialises (N,N); test oracle only.
   * CAM is a (C,C) gram (C <= 184 here): two MXU matmuls, fused by XLA.
 """

@@ -99,14 +99,16 @@ def pam_flash_forward(
     """q,k: (B,N,d); v: (B,N,C) -> (B,N,C) [, lse (B,N) f32].
 
     Measured on v5e at N=15840 (the 0.05deg-path token count), f32:
-    3.44 ms vs 3.53 ms best XLA-blocked (BENCH_DETAILS.json, round 2).
-    Both sit near the same
-    MXU/VMEM balance point — the (N,N) energy stream costs ~2.8 ms of
-    f32 MXU alone with d,c padded to the 128 lane width, so there is no
-    order-of-magnitude forward win left; the kernel's decisive advantage
-    over the XLA fallback is O(block) memory and the fused BACKWARD
+    forward wall time is run-to-run noise-level parity with the best
+    XLA-blocked scan (3.4-3.9 ms both impls across rounds 2-3;
+    BENCH_DETAILS.json carries the latest single run). Both sit near the
+    same MXU/VMEM balance point — the (N,N) energy stream costs ~2.8 ms
+    of f32 MXU alone with d,c padded to the 128 lane width, so there is
+    no order-of-magnitude forward win available; the kernel's decisive
+    advantages over the XLA fallback are O(block) memory (the blocked
+    scan still materialises (block_q, N) rows) and the fused BACKWARD
     (pam_flash_backward) that reuses the saved log-sum-exp instead of
-    recomputing the whole forward."""
+    recomputing the whole forward (7.3 vs 10.0 ms full grad, ~1.4x)."""
     b, n, d = q.shape
     c = v.shape[-1]
     if k.shape[1] != n or v.shape[1] != n:
