@@ -21,7 +21,12 @@ TPU-first implementations:
     BACKWARD is a fused flash kernel too (blockwise energy recompute from
     the saved log-sum-exp — measured ~1.4-1.5x the XLA recompute-VJP for
     a full grad at N=15,840 on v5e).
-  * `impl='naive'` — materialises (N,N); test oracle only.
+  * `impl='naive'` — materialises (N,N). The PRODUCTION choice on TPU
+    below PAM_MATERIALISE_MAX_TOKENS (XLA fuses softmax into the two MXU
+    matmuls and beats the flash kernel at the train spec's N=990 —
+    round-3 measurement); also the CPU test oracle.
+  * `impl='auto'` — resolve_pam_impl: naive under the memory wall on TPU,
+    pallas above it, xla elsewhere.
   * CAM is a (C,C) gram (C <= 184 here): two MXU matmuls, fused by XLA.
 """
 from __future__ import annotations

@@ -96,3 +96,10 @@ def test_mesh_train_ensemble_epoch(mesh):
     ref = EnsembleTrainer(cfg, num_ensemble=2, data=data)
     history_ref = ref.train_ensemble()
     np.testing.assert_allclose(history, history_ref, rtol=2e-4, atol=2e-5)
+
+    # prediction from mesh-trained (sharded) member states matches the
+    # vmap path too — the full mesh workflow has no untested stage
+    preds = ens.predict_ensemble()
+    preds_ref = ref.predict_ensemble()
+    assert preds.shape == preds_ref.shape and preds.shape[0] == 2
+    np.testing.assert_allclose(preds, preds_ref, rtol=2e-3, atol=2e-4)
