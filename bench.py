@@ -205,16 +205,28 @@ def _timeit(fn, *args, iters=20, chain_idx=-1):
         a = list(args)
         a[chain_idx] = carry
         out = fn(*a)
-        leaf = jax.tree_util.tree_leaves(out)[0]
-        eps = (leaf.ravel()[0] * jnp.asarray(1e-30, jnp.float32)).astype(
-            carry.dtype)
-        return carry + eps, None
+        # the chain must depend on the FULL computation: sum the first
+        # INEXACT leaf (a first-element dependency lets XLA narrow or
+        # dead-code the rest — observed: an output whose first leaf was an
+        # int step counter timed 5 vmapped members faster than 1)
+        leaf = next(l for l in jax.tree_util.tree_leaves(out)
+                    if jnp.issubdtype(l.dtype, jnp.inexact))
+        eps = leaf.sum().astype(jnp.float32) * jnp.asarray(1e-30, jnp.float32)
+        # carry may be a pytree (e.g. a train state): thread the data
+        # dependency through every inexact leaf
+        return jax.tree.map(
+            lambda c: c + eps.astype(c.dtype)
+            if jnp.issubdtype(c.dtype, jnp.inexact) else c, carry), None
 
     run = jax.jit(
         lambda c: jax.lax.scan(body, c, None, length=iters)[0])
-    _ = np.asarray(run(args[chain_idx]).ravel()[0])   # compile + warmup
+
+    def force(tree):
+        return np.asarray(jax.tree_util.tree_leaves(tree)[0].ravel()[0])
+
+    _ = force(run(args[chain_idx]))   # compile + warmup
     t0 = time.perf_counter()
-    _ = np.asarray(run(args[chain_idx]).ravel()[0])
+    _ = force(run(args[chain_idx]))
     return (time.perf_counter() - t0) / iters
 
 
@@ -287,6 +299,73 @@ def measure_detail() -> dict:
     dt = _timeit(lambda v, x: hat.apply(v, x), variables, x)
     out["hat_infer_train_spec"] = {"ms_per_batch": round(dt * 1e3, 2),
                                    "samples_per_sec": round(4 / dt, 1)}
+
+    # diffusion VAE+UNet denoise pass at GRACE raster size (config #3:
+    # "2.vae / 3.unet encoder-decoder SR"): one VAE encode + one UNet eps
+    # prediction + one VAE decode, 88x176 crop (the SD ladder needs /8)
+    from gan_danet_tpu.models.diffusion import UNet, VAE
+
+    b = 4
+    vae = VAE(channels=(32, 64), latent_channels=4, out_channels=1)
+    unet = UNet(4, 4, channels=(32, 64), context_dim=128, heads=4)
+    img = jnp.asarray(rng.standard_normal((b, H25, 176, 1)), jnp.float32)
+    ctx = jnp.asarray(rng.standard_normal((b, 16, 128)), jnp.float32)
+    t = jnp.zeros((b,), jnp.int32)
+    key = jax.random.PRNGKey(0)
+    vae_vars = jax.jit(lambda k, x: vae.init({"params": k}, x, k))(key, img)
+    lat = jnp.zeros((b, H25 // 2, 88, 4), jnp.float32)
+    unet_vars = jax.jit(unet.init)(key, lat, ctx, t)
+
+    def denoise_pass(vv, uv, x):
+        mean, logvar = vae.apply(vv, x, method=VAE.encode)
+        eps = unet.apply(uv, mean, ctx, t)
+        return vae.apply(vv, mean - eps, method=VAE.decode)
+
+    dt = _timeit(denoise_pass, vae_vars, unet_vars, img)
+    out["diffusion_vae_unet_pass"] = {"ms_per_batch": round(dt * 1e3, 2),
+                                      "samples_per_sec": round(b / dt, 1)}
+
+    # 5-member ensemble train step (config #5), vmapped like
+    # EnsembleTrainer: member-parallel samples/s = 5 x B / step time
+    import optax
+
+    from gan_danet_tpu.core.config import LossConfig, TrainConfig
+    from gan_danet_tpu.models.discriminator import Discriminator1
+    from gan_danet_tpu.models.losses import GeneratorLoss
+    from gan_danet_tpu.train.gan import init_gan_state, make_train_step
+
+    tc = TrainConfig()
+    gen = FlexibleUpsamplingModule(
+        GeneratorConfig(input_channels=46, dtype=tc.dtype))
+    disc = Discriminator1(input_hw=(H25, W25), dtype=tc.dtype)
+    g_tx = optax.adamw(tc.lr_g, b1=tc.adam_b1, b2=tc.adam_b2,
+                       weight_decay=tc.weight_decay)
+    d_tx = optax.adamw(tc.lr_d, b1=tc.adam_b1, b2=tc.adam_b2,
+                       weight_decay=tc.weight_decay)
+    step = make_train_step(gen, disc, GeneratorLoss(
+        LossConfig(use_perceptual=False)), g_tx, d_tx,
+        (H25 // 4, W25 // 4), jnp.bfloat16)
+    batch = {k: jnp.asarray(v) for k, v in _fake_batch(rng).items()}
+    members = [init_gan_state(gen, disc, g_tx, d_tx, batch,
+                              (H25 // 4, W25 // 4), seed=42 + i)
+               for i in range(5)]
+    from gan_danet_tpu.train.loops import make_stacked_step
+
+    states = jax.tree.map(lambda *xs: jnp.stack(xs), *members)
+    vstep = make_stacked_step(step.raw)
+
+    def ens_fn(s):
+        ns, m = vstep(s, batch, jnp.float32(0.5))
+        # force losses AND both post-update param trees for every member
+        gleaf = jax.tree_util.tree_leaves(ns.g_params)[0]
+        dleaf = jax.tree_util.tree_leaves(ns.d_params)[0]
+        return (m["loss_g"].sum() + gleaf.sum().astype(jnp.float32)
+                + dleaf.sum().astype(jnp.float32))
+
+    dt = _timeit(ens_fn, states, iters=10)
+    out["ensemble_step_5members"] = {
+        "ms_per_step": round(dt * 1e3, 2),
+        "member_samples_per_sec": round(5 * BATCH / dt, 1)}
     return out
 
 

@@ -4,7 +4,7 @@ The reference is single-GPU (SURVEY.md §2.10) — its only "parallelism" is a
 sequential loop over 5 ensemble members. Here scaling is native: a 2-D
 `jax.sharding.Mesh` with ('ensemble', 'data') axes. Batches shard over
 'data' (gradient allreduce rides ICI, inserted by XLA), ensemble members
-shard over 'ensemble' via vmap-over-member-axis params.
+shard over 'ensemble' via member-stacked params (scanned locally).
 """
 from __future__ import annotations
 

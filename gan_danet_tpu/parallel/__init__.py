@@ -8,7 +8,7 @@ scaling axes are first-class:
   * data parallelism  — batches shard over 'data'; the gradient allreduce
     is inserted by XLA from sharding annotations and rides ICI
   * ensemble parallelism — member-stacked params shard over 'ensemble'
-    (vmap over the member axis inside shard_map), training all deep-
+    (lax.scan over local members inside shard_map), training all deep-
     ensemble members simultaneously
   * bf16 compute with f32 params/BN stats (models' `dtype` knobs)
 

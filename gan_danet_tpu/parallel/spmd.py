@@ -16,16 +16,19 @@ from jax.sharding import Mesh, PartitionSpec as P
 from gan_danet_tpu.core.meshes import ENSEMBLE_AXIS
 
 
-def make_ensemble_step(vmapped_step: Callable, mesh: Mesh) -> Callable:
-    """Wrap a member-vmapped train step for the ('ensemble','data') mesh.
+def make_ensemble_step(stacked_step: Callable, mesh: Mesh) -> Callable:
+    """Wrap a member-stacked train step for the ('ensemble','data') mesh.
 
     Manual-SPMD over 'ensemble' (each shard trains its local members) while
     'data' stays automatic so GSPMD inserts the batch-gradient allreduce
-    inside each member program (it rides ICI). Plain vmap+GSPMD fails here:
-    vmap folds the member axis into conv feature groups, which the
-    partitioner can't split — hence shard_map.
+    inside each member program (it rides ICI). Plain vmap+GSPMD fails here
+    twice over: vmap folds the member axis into conv feature groups, which
+    (a) the partitioner can't split and (b) the TPU backend serialises at
+    ~7x the cost of running the members back-to-back (DESIGN.md §8) —
+    hence shard_map over a lax.scan composition (loops.make_stacked_step):
+    members are parallel ACROSS shards and sequential within one.
 
-    vmapped_step(states, batch, loss_weight) -> (states, metrics), with the
+    stacked_step(states, batch, loss_weight) -> (states, metrics), with the
     leading axis of `states`/metrics being the member axis.
 
     The returned callable is jitted for direct per-step use (dryrun, unit
@@ -36,7 +39,7 @@ def make_ensemble_step(vmapped_step: Callable, mesh: Mesh) -> Callable:
     DESIGN.md §6; a multi-chip slice must not reinherit that tax).
     """
     sharded = jax.shard_map(
-        vmapped_step,
+        stacked_step,
         mesh=mesh,
         in_specs=(P(ENSEMBLE_AXIS), P(), P()),
         out_specs=(P(ENSEMBLE_AXIS), P(ENSEMBLE_AXIS)),

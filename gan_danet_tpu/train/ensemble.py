@@ -5,8 +5,11 @@ parallelism.
 The reference trains 5 members SEQUENTIALLY (seeds 42+i, identical data
 split rand=42) — SURVEY.md §2.10 calls member-parallelism "the single
 biggest cheap win". Here member states are stacked on a leading axis and
-the whole ensemble trains as ONE vmapped/jitted step; on a multi-chip mesh
-the member axis shards over 'ensemble' while batches shard over 'data'.
+the whole ensemble trains as ONE jitted step (a lax.scan over members —
+vmap lowers member-stacked convs to grouped convs the TPU serialises at
+~7x cost, loops.make_stacked_step); on a multi-chip mesh the member axis
+shards over 'ensemble' (each shard scans its local members — TRUE
+member-parallel wall time) while batches shard over 'data'.
 
 Early stopping per member is replaced by per-member best-weights tracking
 with restore-at-end — the same returned weights as the reference's
@@ -30,6 +33,8 @@ from gan_danet_tpu.train.loops import (
     dataset_to_device,
     make_epoch_fn,
     make_scan_predict,
+    make_stacked_eval,
+    make_stacked_step,
     scan_predict_to_host,
 )
 from gan_danet_tpu.train.trainer import ModelTrainer
@@ -63,18 +68,20 @@ class EnsembleTrainer:
         self.state = jax.tree.map(lambda *xs: jnp.stack(xs), *states)
 
         single = self.base._train_step.raw
-        vmapped = jax.vmap(single, in_axes=(0, None, None))
+        # scan (not vmap) over the member axis: vmapped member-stacked
+        # convs lower to grouped convolutions that the TPU serialises at
+        # ~7x the cost (see loops.make_stacked_step)
+        stacked = make_stacked_step(single)
         if mesh is not None:
             from gan_danet_tpu.parallel.spmd import make_ensemble_step
 
-            self._ensemble_step = make_ensemble_step(vmapped, mesh)
+            self._ensemble_step = make_ensemble_step(stacked, mesh)
             step_for_epoch = self._ensemble_step.raw
         else:
-            self._ensemble_step = jax.jit(vmapped)
-            step_for_epoch = vmapped
+            self._ensemble_step = jax.jit(stacked)
+            step_for_epoch = stacked
         eval_single = self.base._eval_step
-        self._ensemble_eval = jax.jit(jax.vmap(eval_single,
-                                               in_axes=(0, 0, None)))
+        self._ensemble_eval = jax.jit(make_stacked_eval(eval_single))
         self._predict_fn = make_scan_predict(self._ensemble_eval)
 
         # whole-epoch lax.scan over on-device batch gathers on BOTH paths

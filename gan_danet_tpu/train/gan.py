@@ -119,7 +119,7 @@ def make_train_step(
         return new_state, metrics
 
     jitted = jax.jit(step)
-    jitted.raw = step  # unjitted form for vmap(spmd_axis_name=...) wrapping
+    jitted.raw = step  # unjitted form for member-stacking/shard_map wrapping
     return jitted
 
 

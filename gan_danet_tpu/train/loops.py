@@ -42,11 +42,55 @@ def gather_batch(data: Dict[str, jnp.ndarray], idx: jnp.ndarray):
     return {k: jnp.take(v, idx, axis=0) for k, v in data.items()}
 
 
+def make_stacked_step(single_step: Callable) -> Callable:
+    """Compose a single-member train step over a leading member axis via
+    lax.scan (NOT vmap): vmapping member-stacked conv params lowers to
+    grouped convolutions, which the TPU backend effectively serialises at
+    a catastrophic constant — measured 558 ms for a 5-member step vs
+    77.6 ms for this scan (7.2x) and ~71 ms for 5 independent steps
+    (round-3, DESIGN.md §8). The scan is sequential per member but each
+    member's step runs at full single-model efficiency; on a multi-chip
+    mesh the member axis shards over 'ensemble' so each shard scans only
+    its local members.
+
+    single_step(state, batch, lw) -> (state, metrics);
+    returns stacked(states, batch, lw) -> (states, metrics) with leading
+    member axes."""
+
+    def stacked(states, batch, loss_weight):
+        def body(carry, st):
+            ns, m = single_step(st, batch, loss_weight)
+            return carry, (ns, m)
+
+        _, (new_states, metrics) = jax.lax.scan(body, None, states)
+        return new_states, metrics
+
+    return stacked
+
+
+def make_stacked_eval(eval_single: Callable) -> Callable:
+    """Member-axis composition of an eval forward, scan-based for the
+    same grouped-conv reason as make_stacked_step.
+
+    eval_single(params, stats, batch) -> pred;
+    returns stacked(params, stats, batch) -> (members, ...) preds."""
+
+    def stacked(params, stats, batch):
+        def body(carry, ps):
+            p, s = ps
+            return carry, eval_single(p, s, batch)
+
+        _, preds = jax.lax.scan(body, None, (params, stats))
+        return preds
+
+    return stacked
+
+
 def make_epoch_fn(step_fn: Callable, augment: bool) -> Callable:
     """One jitted program per training epoch.
 
     step_fn(state, batch, loss_weight) -> (state, metrics with loss_g/loss_d)
-    may be the single-member GAN step or its vmap over an ensemble axis.
+    may be the single-member GAN step or its member-stacked composition.
     Returns epoch_fn(state, data, idx_batches, loss_weight, aug_key)
     -> (state, loss_g_stack, loss_d_stack) where the stacks carry the
     per-batch metrics (leading axis = batch index).
@@ -73,7 +117,7 @@ def make_scan_predict(eval_step: Callable) -> Callable:
     """One jitted program per full prediction pass.
 
     eval_step(params, stats, batch) -> pred; may be the single-member eval
-    or its vmap over the ensemble axis. Returns
+    or its member-stacked composition. Returns
     predict_fn(params, stats, data, idx_batches) -> per-batch prediction
     stack with leading axis = batch index.
     """
@@ -94,7 +138,7 @@ def scan_predict_to_host(predict_fn, params, stats, data, order,
     predictions in sample order with the wrap-around fill trimmed.
 
     batch_axis: position of the per-batch sample axis in eval_step's output
-    (0 for the single-member eval, 1 when vmapped over members)."""
+    (0 for the single-member eval, 1 when stacked over members)."""
     idx = jnp.asarray(batch_index_matrix(order, batch_size))
     preds = np.asarray(predict_fn(params, stats, data, idx))
     # (n_batches, ..., batch, ...) -> flatten scan+batch axes into samples
