@@ -48,9 +48,9 @@ def mesh():
     return make_mesh(n_ensemble=2, n_data=4)
 
 
-def test_mesh_step_matches_vmap_path(mesh):
+def test_mesh_step_matches_single_device_path(mesh):
     """One ensemble step on the (2x4) mesh produces the same losses and
-    parameters as the mesh-free vmapped step for identical seeds."""
+    parameters as the mesh-free scan-stacked step for identical seeds."""
     from jax.sharding import NamedSharding, PartitionSpec as P
 
     cfg, data = _cfg_and_data(batch_size=8)
