@@ -222,7 +222,7 @@ def cmd_diffusion(args) -> int:
 
 
 def cmd_bench(args) -> int:
-    del args
+    detail = bool(getattr(args, "detail", False))
     try:
         import bench
     except ImportError:
@@ -238,7 +238,7 @@ def cmd_bench(args) -> int:
         bench = importlib.util.module_from_spec(spec)
         spec.loader.exec_module(bench)
 
-    bench.main()
+    bench.main(detail=detail)
     return 0
 
 
@@ -285,6 +285,10 @@ def main(argv=None) -> int:
         if name == "diffusion":
             p.add_argument("--steps", type=int, default=50,
                            help="DDPM inference steps")
+        if name == "bench":
+            p.add_argument("--detail", action="store_true",
+                           help="also measure the non-headline "
+                                "BASELINE.json configs -> BENCH_DETAILS.json")
 
     args = parser.parse_args(argv)
     return args.fn(args)
