@@ -109,7 +109,10 @@ class GeneratorConfig:
     pam_reduction: int = 8
     se_reduction: int = 16
     norm: str = "batch"                # 'batch' | 'group'
-    use_pallas_attention: bool = True  # Pallas kernels on TPU, XLA fallback otherwise
+    # True -> the auto impl policy on TPU (materialised (N,N) under 2048
+    # tokens, Pallas flash kernel above; ops/attention.resolve_pam_impl);
+    # False forces the XLA blocked scan everywhere
+    use_pallas_attention: bool = True
     dtype: str = "float32"             # compute dtype ('float32'|'bfloat16');
                                        # params/BN stats always stay float32
 
