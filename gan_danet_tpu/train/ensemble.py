@@ -40,6 +40,17 @@ from gan_danet_tpu.train.loops import (
 from gan_danet_tpu.train.trainer import ModelTrainer
 
 
+@jax.jit
+def _merge_best(best, cur, improved_mask):
+    """Per-member masked select over member-stacked trees (leading axis =
+    member): keep `cur` where that member improved, else `best`."""
+    def pick(c, b):
+        m = improved_mask.reshape((-1,) + (1,) * (c.ndim - 1))
+        return jnp.where(m, c, b)
+
+    return jax.tree.map(pick, cur, best)
+
+
 class EnsembleTrainer:
     def __init__(
         self,
@@ -115,27 +126,25 @@ class EnsembleTrainer:
             self.logger.log("ensemble_epoch", epoch=epoch,
                             loss_g_mean=float(avg.mean()))
 
+            # per-member best-weights tracking stays ON DEVICE: a jitted
+            # masked select per epoch (host device_get + np.where merges
+            # cost ~11 s/epoch of the reference-scale ensemble run)
             improved = avg < best_loss
             if improved.any():
-                cur_p = jax.device_get(self.state.g_params)
-                cur_s = jax.device_get(self.state.g_batch_stats)
                 if best_params is None:
-                    best_params, best_stats = cur_p, cur_s
+                    best_params = self.state.g_params
+                    best_stats = self.state.g_batch_stats
                 else:
-                    sel = improved
-
-                    def pick(new, old):
-                        mask = sel.reshape((-1,) + (1,) * (new.ndim - 1))
-                        return np.where(mask, new, old)
-
-                    best_params = jax.tree.map(pick, cur_p, best_params)
-                    best_stats = jax.tree.map(pick, cur_s, best_stats)
+                    mask = jnp.asarray(improved)
+                    best_params = _merge_best(best_params,
+                                              self.state.g_params, mask)
+                    best_stats = _merge_best(best_stats,
+                                             self.state.g_batch_stats, mask)
                 best_loss = np.minimum(best_loss, avg)
 
         if best_params is not None:
             self.state = self.state.replace(
-                g_params=jax.tree.map(jnp.asarray, best_params),
-                g_batch_stats=jax.tree.map(jnp.asarray, best_stats),
+                g_params=best_params, g_batch_stats=best_stats,
             )
         return np.stack(history) if history else np.zeros((0, n_members))
 

@@ -174,12 +174,15 @@ class ModelTrainer:
             losses_d.append(avg_d)
             self.logger.log("epoch", epoch=epoch, loss_d=avg_d, loss_g=avg_g)
 
-            # early stopping on avg G loss (patience 20, min_delta 0)
+            # early stopping on avg G loss (patience 20, min_delta 0).
+            # Best weights stay ON DEVICE: jax arrays are immutable, so
+            # holding the references is a zero-cost snapshot (device_get
+            # here cost a full param pull per improving epoch)
             if avg_g < best_loss - tc.early_stop_min_delta:
                 best_loss = avg_g
                 trigger = 0
-                self.best_params = jax.device_get(self.state.g_params)
-                self.best_batch_stats = jax.device_get(self.state.g_batch_stats)
+                self.best_params = self.state.g_params
+                self.best_batch_stats = self.state.g_batch_stats
             else:
                 trigger += 1
                 if trigger >= tc.early_stop_patience:
@@ -193,8 +196,8 @@ class ModelTrainer:
     def _restore_best(self):
         if self.best_params is not None:
             self.state = self.state.replace(
-                g_params=jax.tree.map(jnp.asarray, self.best_params),
-                g_batch_stats=jax.tree.map(jnp.asarray, self.best_batch_stats),
+                g_params=self.best_params,
+                g_batch_stats=self.best_batch_stats,
             )
 
     # ------------------------------------------------------------------

@@ -37,9 +37,16 @@ def test_cost_analysis_reports_flops():
 
 
 def test_debug_nans_raises_inside_scope():
+    # a jitted fn with a runtime argument: jax_debug_nans is part of the
+    # trace context, so entering the scope forces a freshly instrumented
+    # compile (bare eager ops were order-flaky in the full suite — a
+    # cached uninstrumented executable could serve the result)
+    def f(x):
+        return jnp.log(x) - jnp.log(x)        # inf - inf at x=0
+
     with pytest.raises(FloatingPointError):
         with debug_nans():
-            jnp.log(jnp.zeros(())) - jnp.log(jnp.zeros(()))  # inf - inf
+            np.asarray(jax.jit(f)(jnp.zeros(())))
     # outside the scope: silent again
-    bad = jnp.log(jnp.zeros(())) - jnp.log(jnp.zeros(()))
+    bad = jax.jit(f)(jnp.zeros(()))
     assert np.isnan(np.asarray(bad))
