@@ -17,6 +17,7 @@ configurable bf16 with f32 params/BN stats.
 """
 from __future__ import annotations
 
+import functools
 from typing import Any, Callable, Dict, Tuple
 
 import jax
@@ -137,6 +138,21 @@ def make_eval_step(generator, coarse_hw, compute_dtype=jnp.float32) -> Callable:
     return jax.jit(step)
 
 
+@functools.lru_cache(maxsize=64)
+def _jitted_gen_init(generator):
+    """Per-module jitted init. flax linen Modules are frozen dataclasses
+    (hash/eq by configuration), so equal-config modules share one compiled
+    init — without this cache every ensemble member re-jitted a fresh
+    lambda and recompiled the identical program through the remote-compile
+    tunnel (~minutes per member)."""
+    return jax.jit(lambda k, x: generator.init(k, x, train=True))
+
+
+@functools.lru_cache(maxsize=64)
+def _jitted_disc_init(discriminator):
+    return jax.jit(discriminator.init)
+
+
 def init_gan_state(
     generator,
     discriminator,
@@ -150,15 +166,15 @@ def init_gan_state(
     kg, kd = jax.random.split(jax.random.PRNGKey(seed))
     # jit the inits: unjitted flax init dispatches thousands of tiny ops
     # (minutes over a remote-tunnel TPU); one compiled program is seconds
-    g_vars = jax.jit(lambda k, x: generator.init(k, x, train=True))(kg, x)
+    g_vars = _jitted_gen_init(generator)(kg, x)
     fake_shape = jax.eval_shape(
         lambda v, x: generator.apply(
             {"params": v["params"],
              "batch_stats": v.get("batch_stats", {})}, x, train=False),
         g_vars, x,
     )
-    d_vars = jax.jit(discriminator.init)(kd, jnp.zeros(fake_shape.shape,
-                                                       fake_shape.dtype))
+    d_vars = _jitted_disc_init(discriminator)(kd, jnp.zeros(fake_shape.shape,
+                                                            fake_shape.dtype))
     return GANTrainState(
         step=jnp.zeros((), jnp.int32),
         g_params=g_vars["params"],
