@@ -65,6 +65,12 @@ class DataConfig:
     augmentation_factor: int = 2       # FFT augmentation copies
     augmentation_seasonal_freq: int = 12
     augmentation_noise: float = 0.1
+    # Run the numeric preprocessing stages (standardise -> gaussian smooth
+    # -> STL detrend -> FFT augment) as jit-compiled device programs
+    # (BASELINE.json north-star clause); ingest, placeholder fills and
+    # cache IO stay on host. Host/device pipelines agree to f32 tolerance
+    # (tests/test_data.py).
+    device_preprocess: bool = False
 
     # Synthetic fallback (the TEST_MODE the reference README promised but
     # never implemented — SURVEY.md §4.7)
@@ -109,8 +115,9 @@ class GeneratorConfig:
     pam_reduction: int = 8
     se_reduction: int = 16
     norm: str = "batch"                # 'batch' | 'group'
-    # True -> the auto impl policy on TPU (materialised (N,N) under 2048
-    # tokens, Pallas flash kernel above; ops/attention.resolve_pam_impl);
+    # True -> the auto impl policy on TPU (materialised (B,N,N) under the
+    # batch*tokens^2 HBM budget — N=2048 at the reference batch 12 —
+    # Pallas flash kernel above; ops/attention.resolve_pam_impl);
     # False forces the XLA blocked scan everywhere
     use_pallas_attention: bool = True
     dtype: str = "float32"             # compute dtype ('float32'|'bfloat16');
@@ -166,6 +173,12 @@ class TrainConfig:
     seed: int = 42
     shuffle: bool = False            # faithful: the main notebook's DataLoader
                                      # does NOT shuffle; deep_ensemble's does
+    ensemble_shuffle: bool = True    # faithful per-path default: the
+                                     # deep-ensemble ModelTrainer copy uses
+                                     # DataLoader(train, shuffle=True)
+                                     # (deep_ensemble.ipynb cell 0);
+                                     # EnsembleTrainer overrides `shuffle`
+                                     # with this value
     augment: bool = False            # per-batch flip/rot/noise augmentation
     dtype: str = "bfloat16"          # compute dtype; params/BN stats stay f32
     checkpoint_dir: str = "./checkpoints"
