@@ -12,9 +12,12 @@ histogram match (weight 0.0), edge blend against bicubic GRACE, trend/
 scale/mask/bias post-processing, NetCDF+CSV exports.
 
 TPU-first: the entire per-batch path (input build -> forward -> histogram
-match -> blend) is one jitted device program; only the final stack and the
-scipy-spline zooms (kept for parity with scipy.ndimage.zoom order=3) run
-on host.
+match -> blend) is one jitted device program, and the stage-2
+post-processing zooms (trend x5, mask x5, bias x1.25, uncertainty x5 —
+the reference's host scipy calls, test.ipynb cell 3) run on device as
+precomputed spline-operator matmuls with exact scipy.ndimage.zoom
+semantics (ops/resize.spline_zoom_matrix). Only ingest, the final stacks,
+and the HDF5/NetCDF writes stay on host.
 """
 from __future__ import annotations
 
@@ -52,11 +55,15 @@ def make_apply_fn(generator, params, batch_stats=None):
     return apply_fn
 
 
-def _scan_batches(step, arrs, n: int, batch_size: int) -> np.ndarray:
+def _scan_batches(step, arrs, n: int, batch_size: int,
+                  to_host: bool = True):
     """Run `step` over the whole (device-resident) series as ONE scanned
     program: per-batch Python dispatch + host->device copies dominate wall
     time on remote TPUs. Wrap-around padding mirrors Batcher; returns the
-    de-padded (T, H, W) stack on host."""
+    de-padded (T, H, W) stack — on host by default, or as a device array
+    (to_host=False) so downstream post-processing can stay device-resident
+    (every host materialisation of a (181,440,900) cube costs a ~300 MB
+    transfer on tunneled backends)."""
     nb = -(-n // batch_size)
     idx = jnp.asarray(np.resize(np.arange(n), nb * batch_size)
                       .reshape(nb, batch_size))
@@ -66,14 +73,8 @@ def _scan_batches(step, arrs, n: int, batch_size: int) -> np.ndarray:
         return None, step(batch)
 
     _, outs = jax.lax.scan(body, None, idx)           # (nb, B, H, W, 1)
-    outs = np.asarray(outs)
-    return outs.reshape(-1, *outs.shape[2:4])[:n]
-
-
-def _zoom(arr: np.ndarray, factors, order: int = 3) -> np.ndarray:
-    from scipy.ndimage import zoom
-
-    return zoom(arr, factors, order=order)
+    outs = outs.reshape(-1, *outs.shape[2:4])[:n]
+    return np.asarray(outs) if to_host else outs
 
 
 def _pearson(a: np.ndarray, b: np.ndarray) -> float:
@@ -188,32 +189,44 @@ def predict_005(
 
     arrs = {"lr025": jnp.asarray(lr025[..., None]),
             "aux": jnp.asarray(hr_aux)}
-    res = _scan_batches(step, arrs, lr025.shape[0], batch_size)
+    # the full post-processing chain (trend re-add -> inverse scale -> cm
+    # -> mask -> bias correction -> uncertainty zoom) stays DEVICE-
+    # resident; only the exported products come back to host (one ~300 MB
+    # pull each at reference scale — per-stage round-trips measured 2.7x
+    # slower over the tunneled chip, VALIDATION.md)
+    from gan_danet_tpu.ops.resize import spline_zoom2d
 
-    trend_ups = _zoom(trend25, (1, 5, 5), order=3)
-    res = res + trend_ups
+    res_dev = _scan_batches(step, arrs, lr025.shape[0], batch_size,
+                            to_host=False)
+    trend_ups = spline_zoom2d(jnp.asarray(trend25, jnp.float32),
+                              (h005, w005), order=3)
+    res_dev = res_dev + trend_ups
     truth = lr025 + trend25
 
     stats = as_scaler_stats(s025)
-    res = stats.inverse_transform(res)
+    res_dev = res_dev * stats.scale + stats.mean
     truth = stats.inverse_transform(truth)
 
-    res_cm = res * 10.0
-    mask_hi = _zoom(mask_high.astype(np.float64), (5, 5), order=1)
-    res_cm = np.where(mask_hi[None] > 0, res_cm, np.nan)
+    res_cm_dev = res_dev * 10.0
+    mask_hi_dev = spline_zoom2d(jnp.asarray(mask_high, jnp.float32),
+                                (h005, w005), order=1)
+    res_cm_dev = jnp.where(mask_hi_dev[None] > 0, res_cm_dev, jnp.nan)
     truth = np.where(mask_high[None] > 0, truth, np.nan)
 
     if export_dir is not None:
         Path(export_dir).mkdir(parents=True, exist_ok=True)
-        exp.write_h5(Path(export_dir) / "raw_downscaled.h5", res_cm)
+        exp.write_h5(Path(export_dir) / "raw_downscaled.h5",
+                     np.asarray(res_cm_dev))
 
     if bias_high is not None:
         # the bias grid is NaN outside the plateau mask; order-3 spline
         # zoom would propagate NaN across the whole array — zero-fill first
         # (bias correction only matters inside the mask anyway)
         bias_filled = np.nan_to_num(bias_high, nan=0.0)
-        res_cm = res_cm + _zoom(bias_filled, (1, 1.25, 1.25), order=3)
+        res_cm_dev = res_cm_dev + spline_zoom2d(
+            jnp.asarray(bias_filled, jnp.float32), (h005, w005), order=3)
 
+    res_cm = np.asarray(res_cm_dev)
     series_pred = np.nanmean(res_cm, axis=(1, 2))
     series_truth = np.nanmean(truth, axis=(1, 2))
     r = _pearson(series_pred, series_truth)
@@ -223,8 +236,10 @@ def predict_005(
         exp.write_h5(d / "downscaled.h5", res_cm)
         unc05 = None
         if uncertainty is not None:
-            unc05 = _zoom(uncertainty, (1, 5, 5), order=0)
-            unc05 = np.where(mask_hi[None] > 0, unc05, np.nan)
+            unc05_dev = spline_zoom2d(
+                jnp.asarray(uncertainty, jnp.float32), (h005, w005), order=0)
+            unc05 = np.asarray(jnp.where(mask_hi_dev[None] > 0,
+                                         unc05_dev, jnp.nan))
         exp.export_nc_005(
             d / "downscaled_grace_tws_data_with_uncertainty_gan_danet.nc",
             res_cm, uncertainty=unc05)

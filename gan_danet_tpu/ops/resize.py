@@ -110,6 +110,70 @@ def resize2d(
     return y.astype(x.dtype)
 
 
+@functools.lru_cache(maxsize=64)
+def spline_zoom_matrix(n_in: int, n_out: int, order: int = 3) -> np.ndarray:
+    """Exact (n_out, n_in) operator for scipy.ndimage.zoom along ONE axis
+    (default grid_mode=False / mode='constant' semantics, incl. the
+    B-spline prefilter).
+
+    scipy's spline zoom — prefilter + evaluation on the fixed output grid
+    — is a LINEAR map for fixed (n_in, n_out, order), so the operator is
+    extracted exactly by resampling the identity basis with scipy itself
+    (one (n_in, n_in) zoom call at setup). Parity with
+    scipy.ndimage.zoom is then by construction (float-roundoff only,
+    tests/test_resize.py), while the hot path becomes an MXU matmul
+    instead of a host scipy call — the reference's 0.05deg pipeline zooms
+    (T,440,900)-scale trend/bias/mask cubes on host (test.ipynb cell 3:
+    zoom(trend25,(1,5,5)), zoom(biash,(1,1.25,1.25)), zoom(tpb_h,(5,5))),
+    which round-3 measured as the stage-2 wall-time tail."""
+    from scipy.ndimage import zoom as _scipy_zoom
+
+    if n_in == n_out:
+        return np.eye(n_in, dtype=np.float32)
+    m = _scipy_zoom(np.eye(n_in, dtype=np.float64), (1.0, n_out / n_in),
+                    order=order)
+    assert m.shape == (n_in, n_out), (m.shape, n_in, n_out)
+    return np.ascontiguousarray(m.T).astype(np.float32)
+
+
+def spline_zoom2d(x: jnp.ndarray, size: Tuple[int, int],
+                  order: int = 3) -> jnp.ndarray:
+    """Device-resident scipy.ndimage.zoom over the two TRAILING axes of a
+    (..., H, W) array (channel-less cubes — the stage-2 post-processing
+    layout), as two f32 einsum contractions per axis.
+
+    order=0 (nearest) runs as an index gather, not a matmul: each output
+    samples exactly one input, so NaN stays LOCAL exactly as in scipy —
+    a one-hot matmul would poison every output with 0*NaN (the ensemble
+    uncertainty grid is NaN outside the plateau mask, test.ipynb:613).
+    order>=1 operators assume finite inputs — zero-fill NaN first as
+    predict_005 does for the bias grid (scipy's own spline prefilter
+    would smear a NaN across the whole axis anyway)."""
+    h_in, w_in = x.shape[-2], x.shape[-1]
+    if order == 0:
+        # a row can be ALL ZERO: scipy maps the last output coord to
+        # n_in-1 + 1 ulp of float error, lands out of range and
+        # constant-fills 0 (observed at 16->80: coord 15.000000000000002)
+        # — mask those rows to 0 so gather == matmul == scipy exactly
+        mh = spline_zoom_matrix(h_in, size[0], 0)
+        mw = spline_zoom_matrix(w_in, size[1], 0)
+        ih = jnp.asarray(np.argmax(mh, axis=1))
+        iw = jnp.asarray(np.argmax(mw, axis=1))
+        vh = jnp.asarray(mh.sum(axis=1) > 0)
+        vw = jnp.asarray(mw.sum(axis=1) > 0)
+        y = jnp.take(x, ih, axis=-2)
+        y = jnp.where(vh[:, None], y, 0)
+        y = jnp.take(y, iw, axis=-1)
+        return jnp.where(vw, y, 0)
+    mh = jnp.asarray(spline_zoom_matrix(h_in, size[0], order))
+    mw = jnp.asarray(spline_zoom_matrix(w_in, size[1], order))
+    y = jnp.einsum("ah,...hw->...aw", mh, x,
+                   preferred_element_type=jnp.float32)
+    y = jnp.einsum("bw,...aw->...ab", mw, y,
+                   preferred_element_type=jnp.float32)
+    return y.astype(x.dtype)
+
+
 def resize2d_scale(x: jnp.ndarray, scale: float, method: str = "bicubic") -> jnp.ndarray:
     """Resize by scale factor: out size = floor(in * scale), torch semantics."""
     if x.ndim == 2:

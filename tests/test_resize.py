@@ -58,3 +58,66 @@ def test_2d_input(rng):
                       mode="bilinear", align_corners=False)[0, 0].numpy()
     )
     np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+
+
+def test_spline_zoom2d_matches_scipy(rng):
+    """Device spline zoom (precomputed operator matmuls) must match
+    scipy.ndimage.zoom exactly — scipy is the CPU oracle; the operator is
+    extracted FROM scipy by resampling the identity basis, so this guards
+    the application path (axis order, transposes, f32 accumulation).
+    Covers the three stage-2 shapes: trend x5 (order 3), mask x5
+    (order 1), bias x1.25 (order 3), uncertainty x5 (order 0)."""
+    from scipy.ndimage import zoom as scipy_zoom
+
+    from gan_danet_tpu.ops.resize import spline_zoom2d
+
+    cases = [
+        ((3, 16, 20), (80, 100), 3),    # trend: (T,H25,W25) -> x5
+        ((16, 20), (80, 100), 1),       # mask: 2-D x5
+        ((3, 64, 80), (80, 100), 3),    # bias: x1.25
+        ((3, 16, 20), (80, 100), 0),    # uncertainty: nearest
+    ]
+    for shape, size, order in cases:
+        x = rng.standard_normal(shape).astype(np.float32)
+        got = np.asarray(spline_zoom2d(jnp.asarray(x), size, order=order))
+        factors = (1,) * (len(shape) - 2) + (size[0] / shape[-2],
+                                             size[1] / shape[-1])
+        want = scipy_zoom(x.astype(np.float64), factors, order=order)
+        assert got.shape == want.shape == shape[:-2] + size
+        np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+
+def test_spline_zoom2d_reference_scale_slices():
+    """Spot-check the REFERENCE grid sizes (88->440, 180->900, 352->440,
+    720->900) on one time slice so the full-size operators are covered
+    without a slow full-cube scipy run."""
+    from scipy.ndimage import zoom as scipy_zoom
+
+    from gan_danet_tpu.ops.resize import spline_zoom2d
+
+    rng = np.random.default_rng(1)
+    for (h, w), (ho, wo) in [((88, 180), (440, 900)),
+                             ((352, 720), (440, 900))]:
+        x = rng.standard_normal((1, h, w)).astype(np.float32)
+        got = np.asarray(spline_zoom2d(jnp.asarray(x), (ho, wo), order=3))
+        want = scipy_zoom(x[0].astype(np.float64), (ho / h, wo / w), order=3)
+        np.testing.assert_allclose(got[0], want, rtol=1e-4, atol=1e-4)
+
+
+def test_spline_zoom2d_order0_nan_local():
+    """order=0 runs as a gather, so NaN stays LOCAL exactly like scipy's
+    nearest-neighbour zoom — the ensemble uncertainty grid is NaN outside
+    the plateau mask (test.ipynb:613) and a one-hot matmul would have
+    poisoned every output with 0*NaN (round-4 regression caught by the
+    CLI ensemble->infer chain test)."""
+    from scipy.ndimage import zoom as scipy_zoom
+
+    from gan_danet_tpu.ops.resize import spline_zoom2d
+
+    x = np.arange(12, dtype=np.float32).reshape(1, 3, 4)
+    x[0, 0, 1] = np.nan
+    got = np.asarray(spline_zoom2d(jnp.asarray(x), (6, 8), order=0))
+    want = scipy_zoom(x[0], (2.0, 2.0), order=0)[None]
+    np.testing.assert_array_equal(np.isnan(got), np.isnan(want))
+    np.testing.assert_allclose(np.nan_to_num(got), np.nan_to_num(want))
+    assert np.isfinite(got).sum() > 0
