@@ -54,11 +54,133 @@ def _stl_detrend_np(cube: np.ndarray, period: int, seasonal: int):
     return trend, cube - trend
 
 
-def load_data(config: DataConfig, raw: RawArrays | None = None):
-    """Returns ([detrended05, trend05], [detrended25, trend25],
-    smoothed_hr_aux, scaler05, scaler025, aux_scalers) — the exact tuple
-    shape of reference datasets.py:444."""
-    raw = raw if raw is not None else load_raw(config)
+def _scaler_from_stats(mean: float, scale: float) -> StandardScaler:
+    s = StandardScaler()
+    s.mean_ = np.array([float(mean)])
+    sc = float(scale)
+    s.scale_ = np.array([sc if sc > 0 else 1.0])
+    return s
+
+
+def _aug_kernel(n: int, seasonal_freq: int) -> tuple:
+    """(kernel (n, K) f32, K) for the cosine-form FFT augmentation,
+    reproducing the reference's 0..+seasonal_freq bin quirk exactly
+    (see preprocess.frequency_domain_augmentation)."""
+    idxs = [i for i in range(-seasonal_freq, seasonal_freq + 1) if 0 <= i < n]
+    t_idx = np.arange(n)[:, None]
+    kbins = np.asarray([i % n for i in idxs])[None, :]
+    kernel = (np.cos(2.0 * np.pi * t_idx * kbins / n) / n).astype(np.float32)
+    return kernel, len(idxs)
+
+
+def _device_stages(grace_05, grace_025, hr_aux, n_gldas: int,
+                   config: DataConfig, aug_noise=None):
+    """Stages 3-5(+6) of load_data as ONE jit-compiled device program
+    (BASELINE.json north-star: a "jit-compiled device-resident
+    preprocessing stage"): standardise both GRACE cubes and every aux
+    channel, gaussian-smooth the GLDAS channels (matrix operators ->
+    MXU matmuls), STL-detrend both cubes ((T,T) operator matmul), and —
+    when `aug_noise=(noise05, noise25, noise_aux)` lists are given — the
+    FFT-domain augmentation (cosine-kernel matmuls) with the augmented
+    concat, all fused so raw arrays upload ONCE and outputs download
+    ONCE (per-stage round-trips dominated the wall over the tunneled
+    test chip: 287 s -> see VALIDATION.md).
+    The host reference path computes scaler stats in float64; the device
+    program is float32 throughout — pipelines agree to f32 tolerance
+    (tests/test_data.py::test_device_preprocess_matches_host)."""
+    import jax
+    import jax.numpy as jnp
+
+    from gan_danet_tpu.ops.gaussian import gaussian_matrix
+
+    t = grace_05.shape[0]
+    h, w = hr_aux.shape[1:3]
+    gh = jnp.asarray(gaussian_matrix(h, config.gldas_smooth_sigma)
+                     .astype(np.float32))
+    gw = jnp.asarray(gaussian_matrix(w, config.gldas_smooth_sigma)
+                     .astype(np.float32))
+    a_t, _ = stl_operator(t, period=config.stl_period,
+                          seasonal=config.stl_seasonal)
+    a_t = jnp.asarray(a_t)
+    kernel = (jnp.asarray(_aug_kernel(t, config.augmentation_seasonal_freq)[0])
+              if aug_noise is not None else None)
+
+    @jax.jit
+    def run(g05, g25, aux, noise):
+        def standardise(x):
+            m = jnp.mean(x)
+            s = jnp.std(x)
+            s = jnp.where(s > 0, s, 1.0)
+            return (x - m) / s, m, s
+
+        g05s, m05, s05 = standardise(g05)
+        g25s, m25, s25 = standardise(g25)
+
+        m_aux = jnp.mean(aux, axis=(0, 1, 2))
+        s_aux = jnp.std(aux, axis=(0, 1, 2))
+        s_aux = jnp.where(s_aux > 0, s_aux, 1.0)
+        aux_std = (aux - m_aux) / s_aux
+
+        gl = aux_std[..., :n_gldas]
+        sm = jnp.einsum("ah,thwc->tawc", gh, gl,
+                        preferred_element_type=jnp.float32)
+        sm = jnp.einsum("bw,tawc->tabc", gw, sm,
+                        preferred_element_type=jnp.float32)
+        aux_sm = jnp.concatenate([sm, aux_std[..., n_gldas:]], axis=-1)
+
+        def detrend(cube):
+            flat = cube.reshape(t, -1)
+            trend = jnp.einsum("ts,sp->tp", a_t, flat,
+                               preferred_element_type=jnp.float32).reshape(
+                                   cube.shape)
+            return trend, cube - trend
+
+        t05, d05 = detrend(g05s)
+        t25, d25 = detrend(g25s)
+
+        if noise is not None:
+            def augment(d, noise_list):
+                flat = d.reshape(t, -1)
+                copies = [flat + jnp.matmul(
+                    kernel, nz, preferred_element_type=jnp.float32)
+                    for nz in noise_list]
+                return jnp.concatenate([flat] + copies).reshape(
+                    (t * (1 + len(noise_list)),) + d.shape[1:])
+
+            n05, n25, naux = noise
+            d05o, d25o, aux_o = d05, d25, aux_sm
+            d05 = augment(d05o, n05)
+            d25 = augment(d25o, n25)
+            aux_sm = augment(aux_o, naux)
+            t05 = jnp.tile(t05, (1 + len(n05), 1, 1))
+            t25 = jnp.tile(t25, (1 + len(n25), 1, 1))
+
+        return (d05, t05, d25, t25, aux_sm,
+                (m05, s05), (m25, s25), (m_aux, s_aux))
+
+    if aug_noise is not None:
+        aug_noise = tuple(
+            [jnp.asarray(nz.astype(np.float32)) for nz in group]
+            for group in aug_noise)
+    (d05, t05, d25, t25, aux_sm, st05, st25, st_aux) = run(
+        jnp.asarray(grace_05, jnp.float32),
+        jnp.asarray(grace_025, jnp.float32),
+        jnp.asarray(hr_aux, jnp.float32),
+        aug_noise)
+
+    scaler05 = _scaler_from_stats(*jax.device_get(st05))
+    scaler025 = _scaler_from_stats(*jax.device_get(st25))
+    m_aux, s_aux = (np.asarray(v) for v in jax.device_get(st_aux))
+    aux_scalers = [_scaler_from_stats(m_aux[i], s_aux[i])
+                   for i in range(len(m_aux))]
+    return ([np.asarray(d05), np.asarray(t05)],
+            [np.asarray(d25), np.asarray(t25)],
+            np.asarray(aux_sm), scaler05, scaler025, aux_scalers)
+
+
+def _assemble_aux(config: DataConfig, raw: RawArrays) -> np.ndarray:
+    """Host front half of load_data: aux-stack assembly + placeholder
+    fills (ingest-adjacent, stays on host by design — SURVEY.md §7)."""
     t = raw.grace_05.shape[0]
     h25, w25 = raw.grace_025.shape[1:3]
 
@@ -91,11 +213,23 @@ def load_data(config: DataConfig, raw: RawArrays | None = None):
     # hardcodes 0:14 x 0:12 of the 88x180 grid)
     r0 = max(1, round(14 / 88 * h25))
     c0 = max(1, round(12 / 180 * w25))
-    hr_aux = fill_placeholder_with_mean(
+    return fill_placeholder_with_mean(
         hr_aux,
         region=(slice(0, r0), slice(0, c0)),
         source=(slice(r0, min(r0 + 2, h25)), slice(c0, min(c0 + 2, w25))),
     )
+
+
+def load_data(config: DataConfig, raw: RawArrays | None = None):
+    """Returns ([detrended05, trend05], [detrended25, trend25],
+    smoothed_hr_aux, scaler05, scaler025, aux_scalers) — the exact tuple
+    shape of reference datasets.py:444."""
+    raw = raw if raw is not None else load_raw(config)
+    hr_aux = _assemble_aux(config, raw)
+
+    if config.device_preprocess:
+        return _device_stages(raw.grace_05, raw.grace_025, hr_aux,
+                              raw.gldas.shape[-1], config)
 
     scaler05 = StandardScaler()
     scaler025 = StandardScaler()
@@ -125,17 +259,41 @@ def load_data(config: DataConfig, raw: RawArrays | None = None):
 def load_data_with_augmentation(config: DataConfig, raw: RawArrays | None = None,
                                 rng: np.random.Generator | None = None):
     """x`augmentation_factor` FFT-domain copies concatenated along time,
-    trends tiled to match (reference datasets.py:451-501)."""
-    ([d05, t05], [d25, t25], aux, s05, s025, s_aux) = load_data(config, raw)
-    rng = rng or np.random.default_rng(config.synthetic_seed)
+    trends tiled to match (reference datasets.py:451-501).
 
+    With `device_preprocess` the augmentation fuses into the SAME device
+    program as standardise/smooth/detrend (_device_stages): noise is
+    drawn on host in the EXACT rng order of the host path (so both
+    pipelines consume identical randomness and agree to f32 tolerance),
+    everything else runs on the accelerator with one upload/download."""
+    rng = rng or np.random.default_rng(config.synthetic_seed)
     k = config.augmentation_factor
     f = config.augmentation_seasonal_freq
     nl = config.augmentation_noise
 
-    aug05 = [frequency_domain_augmentation(d05, f, nl, 0, rng) for _ in range(k)]
-    aug25 = [frequency_domain_augmentation(d25, f, nl, 0, rng) for _ in range(k)]
-    aug_aux = [frequency_domain_augmentation(aux, f, nl, 0, rng) for _ in range(k)]
+    if config.device_preprocess:
+        raw = raw if raw is not None else load_raw(config)
+        hr_aux = _assemble_aux(config, raw)
+        t = raw.grace_05.shape[0]
+        _, n_bins = _aug_kernel(t, f)
+
+        def draws(shape):
+            rest = int(np.prod(shape[1:]))
+            return [rng.normal(scale=nl, size=(n_bins, rest))
+                    for _ in range(k)]
+
+        # host-path rng consumption order: d05 copies, d25 copies, aux
+        noise = (draws(raw.grace_05.shape), draws(raw.grace_025.shape),
+                 draws(hr_aux.shape))
+        return _device_stages(raw.grace_05, raw.grace_025, hr_aux,
+                              raw.gldas.shape[-1], config, aug_noise=noise)
+
+    ([d05, t05], [d25, t25], aux, s05, s025, s_aux) = load_data(config, raw)
+
+    fda = frequency_domain_augmentation
+    aug05 = [fda(d05, f, nl, 0, rng) for _ in range(k)]
+    aug25 = [fda(d25, f, nl, 0, rng) for _ in range(k)]
+    aug_aux = [fda(aux, f, nl, 0, rng) for _ in range(k)]
 
     d05a = np.concatenate([d05] + aug05, axis=0)
     d25a = np.concatenate([d25] + aug25, axis=0)

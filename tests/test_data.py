@@ -225,3 +225,37 @@ def test_fft_augmentation_matches_explicit_fft_oracle(rng):
                 scale=noise_level, size=freq[idx].size).reshape(freq[idx].shape)
     want = np.real(np.fft.ifft(freq, axis=0)).astype(np.float32)
     np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+
+def test_device_preprocess_matches_host():
+    """DataConfig.device_preprocess=True runs standardise -> gaussian
+    smooth -> STL detrend -> FFT augment as jit-compiled device programs
+    (BASELINE.json north-star clause); results must match the host numpy
+    pipeline to f32 tolerance — same raw arrays, same rng consumption."""
+    import dataclasses
+
+    dc = tiny_config(24)
+    raw = make_synthetic_raw(dc, seed=0)
+    host = load_data_with_augmentation(dc, raw=raw)
+    dev = load_data_with_augmentation(
+        dataclasses.replace(dc, device_preprocess=True), raw=raw)
+
+    ([d05_h, t05_h], [d25_h, t25_h], aux_h, s05_h, s025_h, sa_h) = host
+    ([d05_d, t05_d], [d25_d, t25_d], aux_d, s05_d, s025_d, sa_d) = dev
+
+    # standardized-detrended cubes are O(1); f32 vs f64 scaler stats and
+    # f32 matmul accumulation bound the difference well under 1e-3
+    for h, d, name in [(d05_h, d05_d, "d05"), (t05_h, t05_d, "t05"),
+                       (d25_h, d25_d, "d25"), (t25_h, t25_d, "t25"),
+                       (aux_h, aux_d, "aux")]:
+        assert h.shape == d.shape, name
+        np.testing.assert_allclose(d, h, rtol=1e-3, atol=1e-3, err_msg=name)
+
+    # scaler stats agree tightly (simple reductions)
+    for sh, sd in [(s05_h, s05_d), (s025_h, s025_d)] + list(zip(sa_h, sa_d)):
+        np.testing.assert_allclose(sd.mean_, sh.mean_, rtol=1e-4, atol=1e-5)
+        np.testing.assert_allclose(sd.scale_, sh.scale_, rtol=1e-4)
+
+    # the reconstruction invariant holds on the device path too
+    np.testing.assert_allclose(d25_d[:24] + t25_d[:24],
+                               (d25_h + t25_h)[:24], rtol=1e-3, atol=1e-3)
