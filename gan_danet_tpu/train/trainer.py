@@ -51,12 +51,23 @@ class ModelTrainer:
         data: Optional[Tuple] = None,
         logger: Optional[MetricsLogger] = None,
         generator=None,
+        mesh=None,
     ):
         """`generator` swaps the DANet generator for any flax module with
         the uniform `__call__(x, train)` (B,H/4,W/4,C)->(B,H,W,1) interface
         — e.g. models.hat.HAT, mirroring the reference's HAT comparison
-        pipeline (SURVEY.md §2.9)."""
+        pipeline (SURVEY.md §2.9).
+
+        `mesh` (a core.meshes mesh with a 'data' axis) makes the flagship
+        training loop data-parallel: the dataset is replicated across the
+        slice and every batch in the scanned epoch is sharding-constrained
+        over 'data', so GSPMD partitions the fused D+G step with gradient
+        allreduce + global-BN collectives over ICI. Epoch losses match
+        single-device bit-for-tolerance (tests/test_train.py). The
+        reference is single-GPU (SURVEY.md §2.10) — this is the rebuild's
+        scaling goal, not a parity feature."""
         self.config = config
+        self.mesh = mesh
         tc = config.train
         self.logger = logger or MetricsLogger(echo=False)
 
@@ -66,6 +77,10 @@ class ModelTrainer:
          self.scaler05, self.scaler025, self.aux_scalers) = data
 
         n = lr05.shape[0]
+        # unsplit arrays (references, not copies): the chronological
+        # original slice feeds ensemble full-dataset prediction
+        self._full_arrays = (lr05, lr025, hr_aux)
+        self.n_original = min(config.data.n_time, n)
         train_idx, test_idx = train_test_split_indices(
             n, tc.test_fraction, tc.seed)
         self.train_ds = ArrayDataset(lr05[train_idx], lr025[train_idx],
@@ -132,8 +147,24 @@ class ModelTrainer:
         # train/loops.py for the dispatch-overhead rationale).
         self._dev_train = None
         self._dev_test = None
-        self._epoch_fn = make_epoch_fn(self._train_step.raw, tc.augment)
-        self._predict_fn = make_scan_predict(self._eval_step)
+        self._epoch_fn = make_epoch_fn(self._train_step.raw, tc.augment,
+                                       mesh=mesh)
+        self._predict_fn = make_scan_predict(self._eval_step, mesh=mesh)
+
+    # ------------------------------------------------------------------
+    def original_dataset(self) -> ArrayDataset:
+        """The chronological unaugmented dataset — the reference's
+        `full_dataset` (deep_ensemble.ipynb cell 0: CustomDataset built
+        from a SEPARATE load_data() call's lr_grace_05o/lr_grace_025o/
+        hr_auxo, i.e. the original 181-month series in time order, not the
+        split-permuted augmented stack). load_data_with_augmentation
+        concatenates the original series FIRST (reference
+        datasets.py:451-501; data/pipeline.py), so the first
+        config.data.n_time samples of the unsplit arrays ARE those
+        originals in time order — no second pipeline run needed."""
+        lr05, lr025, aux = self._full_arrays
+        n = self.n_original
+        return ArrayDataset(lr05[:n], lr025[:n], aux[:n])
 
     # ------------------------------------------------------------------
     def _epoch_indices(self) -> np.ndarray:
@@ -150,7 +181,14 @@ class ModelTrainer:
         """Run the training loop. `start_epoch=None` resumes from the
         checkpointed step count (true mid-run resume — the curriculum
         adversarial weight continues where it left off); pass 0 to force a
-        fresh run."""
+        fresh run.
+
+        Resume granularity: `start_epoch = step // steps_per_epoch`, so a
+        checkpoint taken MID-epoch resumes at that epoch's start and the
+        curriculum weight w = epoch/epochs rounds DOWN one epoch for the
+        replayed fraction (the reference has no resume at all —
+        SURVEY.md §5; checkpoints here are written at epoch boundaries by
+        the CLI, where this is exact)."""
         tc = self.config.train
         if start_epoch is None:
             steps_per_epoch = max(1, len(self.train_loader))
@@ -160,7 +198,7 @@ class ModelTrainer:
         trigger = 0
 
         if self._dev_train is None:
-            self._dev_train = dataset_to_device(self.train_ds)
+            self._dev_train = dataset_to_device(self.train_ds, mesh=self.mesh)
 
         for epoch in range(start_epoch, tc.epochs):
             loss_weight = jnp.float32(epoch / tc.epochs)
@@ -258,10 +296,10 @@ class ModelTrainer:
         ds = dataset if dataset is not None else self.test_ds
         if dataset is None:
             if self._dev_test is None:
-                self._dev_test = dataset_to_device(ds)
+                self._dev_test = dataset_to_device(ds, mesh=self.mesh)
             data = self._dev_test
         else:
-            data = dataset_to_device(ds)
+            data = dataset_to_device(ds, mesh=self.mesh)
         return scan_predict_to_host(
             self._predict_fn, self.state.g_params, self.state.g_batch_stats,
             data, np.arange(len(ds)),

@@ -128,9 +128,12 @@ def test_save_artifacts_layout(ens, tmp_path):
     std_series = np.load(tmp_path / "ensemble_uncertainty_averaged.npy")
     assert std_series.shape == (n,)
     np.testing.assert_allclose(std_series, results["series_std"])
+    # per-pixel std keeps the channel axis — the reference's std over the
+    # (5,N,1,H,W) member stack is (N,1,H,W) and its consumer squeezes
+    # (test.ipynb:613: np.load(...).squeeze())
     pixel_std = np.load(tmp_path / "ensemble_uncertainty.npy")
-    assert pixel_std.shape == results["uncertainty"].shape
-    np.testing.assert_allclose(pixel_std, results["uncertainty"])
+    assert pixel_std.shape == (n, 1) + results["uncertainty"].shape[1:]
+    np.testing.assert_allclose(pixel_std.squeeze(1), results["uncertainty"])
 
 
 def test_predict_ensemble_scaler05_quirk(ens):
@@ -149,15 +152,77 @@ def test_predict_ensemble_scaler05_quirk(ens):
         quirk, raw_std * s05.scale_[0] + s05.mean_[0], rtol=1e-5, atol=1e-5)
     np.testing.assert_allclose(
         proper, raw_std * s025.scale_[0] + s025.mean_[0], rtol=1e-5, atol=1e-5)
-    # trues follow the same quirk
+    # trues follow the same quirk, over the chronological original slice
     trues = trainer.collect_trues()
-    full_std = np.concatenate([trainer.base.train_ds.lr_grace_025,
-                               trainer.base.test_ds.lr_grace_025])[..., None]
+    full_std = trainer.base.original_dataset().lr_grace_025[..., None]
     np.testing.assert_allclose(
         trues, full_std * s05.scale_[0] + s05.mean_[0], rtol=1e-5, atol=1e-5)
 
     with pytest.raises(ValueError):
         trainer.predict_ensemble(inverse="bogus")
+
+
+def test_predict_ensemble_chronological_default(ens):
+    """Default full-dataset prediction runs over the ORIGINAL chronological
+    unaugmented dataset — the reference's full_loader semantics
+    (deep_ensemble.ipynb cell 0: full_dataset = CustomDataset(lr_grace_05o,
+    lr_grace_025o, hr_auxo) from a separate load_data() call, consumed with
+    shuffle=False). NOT the split-permuted augmented stack (the round-3
+    deviation: 543-length, scrambled time axis)."""
+    from gan_danet_tpu.data.pipeline import load_data
+
+    trainer, raw = ens
+    dc = trainer.config.data
+    preds = trainer.predict_ensemble()
+    # original length (24), not the augmented length (72)
+    assert preds.shape[1] == dc.n_time
+    assert preds.shape[1] == len(trainer.base.original_dataset())
+
+    # time ORDER: trues must equal the unaugmented load_data output
+    # (an independent pipeline run on the same raw arrays), chronologically
+    ([_, _], [d25, _], _aux, _s05, _s025, _sa) = load_data(dc, raw=raw)
+    trues = trainer.collect_trues(inverse=None)[..., 0]
+    np.testing.assert_allclose(trues, d25, rtol=1e-6, atol=1e-6)
+
+    # default == explicitly passing the chronological original dataset
+    explicit = trainer.predict_ensemble(
+        dataset=trainer.base.original_dataset())
+    np.testing.assert_allclose(preds, explicit)
+
+
+def test_ensemble_artifacts_chronological(ens, tmp_path):
+    """The shipped ensemble_uncertainty.npy has the chronological
+    (n_time, 1, H, W) layout test.ipynb:613 assumes (it zooms into a
+    NetCDF with chronological time coordinates)."""
+    trainer, raw = ens
+    dc = trainer.config.data
+    preds = trainer.predict_ensemble()
+    trues = trainer.collect_trues()
+    results = trainer.compute_uncertainty(preds, trues=trues,
+                                          mask=raw.mask_high)
+    trainer.save_artifacts(tmp_path, results)
+    unc = np.load(tmp_path / "ensemble_uncertainty.npy")
+    assert unc.shape == (dc.n_time, 1) + tuple(dc.grid_025)
+    series = np.load(tmp_path / "ensemble_mean_predictions.npy")
+    assert series.shape == (dc.n_time,)
+
+
+def test_ensemble_shuffle_parity(ens):
+    """The ensemble path trains with a shuffled loader by default
+    (reference deep_ensemble.ipynb cell 0: DataLoader(train_dataset,
+    shuffle=True); the main notebook's loader does not shuffle) and the
+    batch order varies per epoch."""
+    trainer, _ = ens
+    assert trainer.base.train_loader.shuffle is True
+    assert trainer.config.train.shuffle is True
+    a = trainer.base._epoch_indices()
+    b = trainer.base._epoch_indices()
+    assert not np.array_equal(a, b)
+
+    # the flagship (main-notebook) path default stays unshuffled
+    from gan_danet_tpu.core.config import TrainConfig
+
+    assert TrainConfig().shuffle is False
 
 
 def test_ensemble_honors_augment_flag():
