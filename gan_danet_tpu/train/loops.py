@@ -19,13 +19,25 @@ import numpy as np
 from gan_danet_tpu.data.dataset import ArrayDataset, apply_augmentation
 
 
-def dataset_to_device(ds: ArrayDataset) -> Dict[str, jnp.ndarray]:
-    """Move a whole split into HBM as the {lr05, lr025, aux} batch dict."""
-    return {
-        "lr05": jnp.asarray(ds.lr_grace_05[..., None]),
-        "lr025": jnp.asarray(ds.lr_grace_025[..., None]),
-        "aux": jnp.asarray(ds.hr_aux),
+def dataset_to_device(ds: ArrayDataset, mesh=None) -> Dict[str, jnp.ndarray]:
+    """Move a whole split into HBM as the {lr05, lr025, aux} batch dict.
+
+    With a mesh the split is replicated across devices (reference-scale
+    data is ~1.35 GiB f32 — BASELINE.md — well within one v5e chip's HBM):
+    replication keeps the shuffled epoch gathers communication-free; the
+    per-batch sharding constraint in make_epoch_fn then splits each
+    gathered batch over 'data' so compute is data-parallel."""
+    arrs = {
+        "lr05": ds.lr_grace_05[..., None],
+        "lr025": ds.lr_grace_025[..., None],
+        "aux": ds.hr_aux,
     }
+    if mesh is None:
+        return {k: jnp.asarray(v) for k, v in arrs.items()}
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    rep = NamedSharding(mesh, P())
+    return {k: jax.device_put(np.asarray(v), rep) for k, v in arrs.items()}
 
 
 def batch_index_matrix(order: np.ndarray, batch_size: int) -> np.ndarray:
@@ -86,7 +98,7 @@ def make_stacked_eval(eval_single: Callable) -> Callable:
     return stacked
 
 
-def make_epoch_fn(step_fn: Callable, augment: bool) -> Callable:
+def make_epoch_fn(step_fn: Callable, augment: bool, mesh=None) -> Callable:
     """One jitted program per training epoch.
 
     step_fn(state, batch, loss_weight) -> (state, metrics with loss_g/loss_d)
@@ -94,12 +106,28 @@ def make_epoch_fn(step_fn: Callable, augment: bool) -> Callable:
     Returns epoch_fn(state, data, idx_batches, loss_weight, aug_key)
     -> (state, loss_g_stack, loss_d_stack) where the stacks carry the
     per-batch metrics (leading axis = batch index).
+
+    With a mesh, each gathered batch is sharding-constrained over the
+    'data' axis so GSPMD partitions the whole D+G step data-parallel
+    (gradient allreduce + cross-shard BN collectives over ICI, inserted by
+    XLA) — semantics identical to single-device (global BN over the full
+    batch), verified in tests/test_train.py.
     """
+    constraint = None
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from gan_danet_tpu.core.meshes import DATA_AXIS
+
+        constraint = NamedSharding(mesh, P(DATA_AXIS))
 
     def epoch_fn(state, data, idx_batches, loss_weight, aug_key):
         def body(carry, idx):
             st, key = carry
             batch = gather_batch(data, idx)
+            if constraint is not None:
+                batch = jax.lax.with_sharding_constraint(
+                    batch, {k: constraint for k in batch})
             if augment:
                 key, k = jax.random.split(key)
                 batch = apply_augmentation(batch, k)
@@ -113,18 +141,31 @@ def make_epoch_fn(step_fn: Callable, augment: bool) -> Callable:
     return jax.jit(epoch_fn)
 
 
-def make_scan_predict(eval_step: Callable) -> Callable:
+def make_scan_predict(eval_step: Callable, mesh=None) -> Callable:
     """One jitted program per full prediction pass.
 
     eval_step(params, stats, batch) -> pred; may be the single-member eval
     or its member-stacked composition. Returns
     predict_fn(params, stats, data, idx_batches) -> per-batch prediction
-    stack with leading axis = batch index.
+    stack with leading axis = batch index. With a mesh, each gathered
+    batch is sharding-constrained over 'data' (same rationale as
+    make_epoch_fn) so eval runs data-parallel too.
     """
+    constraint = None
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from gan_danet_tpu.core.meshes import DATA_AXIS
+
+        constraint = NamedSharding(mesh, P(DATA_AXIS))
 
     def predict_fn(params, stats, data, idx_batches):
         def body(_, idx):
-            return None, eval_step(params, stats, gather_batch(data, idx))
+            batch = gather_batch(data, idx)
+            if constraint is not None:
+                batch = jax.lax.with_sharding_constraint(
+                    batch, {k: constraint for k in batch})
+            return None, eval_step(params, stats, batch)
 
         _, preds = jax.lax.scan(body, None, idx_batches)
         return preds
