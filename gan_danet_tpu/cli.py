@@ -32,6 +32,9 @@ def _load_config(args) -> "ExperimentConfig":
     if args.synthetic:
         cfg = dataclasses.replace(
             cfg, data=dataclasses.replace(cfg.data, synthetic=True))
+    if getattr(args, "device_preprocess", False):
+        cfg = dataclasses.replace(
+            cfg, data=dataclasses.replace(cfg.data, device_preprocess=True))
     if args.epochs is not None:
         cfg = dataclasses.replace(
             cfg, train=dataclasses.replace(cfg.train, epochs=args.epochs))
@@ -78,12 +81,34 @@ def _make_generator(args, cfg):
     return None  # ModelTrainer builds the DANet generator
 
 
+def _make_mesh(args, cfg, default_ensemble: int = 1):
+    """--mesh plumbing: 'auto' sizes the ('ensemble','data') mesh from
+    cfg.mesh over all visible devices; 'ExD' (e.g. '2x4') sets both axes;
+    a bare integer is a data-parallel width. None/absent -> single device
+    (the reference's posture; SURVEY.md §2.10)."""
+    spec = getattr(args, "mesh", None)
+    if not spec:
+        return None
+    import jax
+
+    from gan_danet_tpu.core.meshes import make_mesh
+
+    if spec == "auto":
+        ens, dat = cfg.mesh.axis_sizes(jax.device_count())
+    elif "x" in spec:
+        ens, dat = (int(v) for v in spec.lower().split("x"))
+    else:
+        ens, dat = default_ensemble, int(spec)
+    return make_mesh(n_ensemble=ens, n_data=dat)
+
+
 def cmd_train(args) -> int:
     from gan_danet_tpu.train.trainer import ModelTrainer
 
     cfg = _load_config(args)
     trainer = ModelTrainer(cfg, logger=_logger(args),
-                           generator=_make_generator(args, cfg))
+                           generator=_make_generator(args, cfg),
+                           mesh=_make_mesh(args, cfg))
     losses_g, losses_d = trainer.train()
     metrics = trainer.evaluate()
     path = trainer.save_checkpoint()
@@ -98,7 +123,9 @@ def cmd_ensemble(args) -> int:
     from gan_danet_tpu.train.ensemble import EnsembleTrainer
 
     cfg = _load_config(args)
-    ens = EnsembleTrainer(cfg, num_ensemble=args.members, logger=_logger(args))
+    ens = EnsembleTrainer(cfg, num_ensemble=args.members, logger=_logger(args),
+                          mesh=_make_mesh(args, cfg,
+                                          default_ensemble=args.members))
     ens.train_ensemble()
     preds = ens.predict_ensemble()
     trues = ens.collect_trues()
@@ -126,6 +153,36 @@ def _load_mask(cfg, args):
     return np.ones(cfg.data.grid_025, np.float32)
 
 
+def _load_uncertainty(args, out, n_time: int):
+    """Resolve the deep-ensemble per-pixel uncertainty for the 0.05deg
+    NetCDF (reference test.ipynb:613: np.load('ensemble_uncertainty.npy')
+    .squeeze() -> zoom x5 -> `uncertainty` variable). Order of preference:
+    --uncertainty PATH, then auto-detection next to --out
+    (<out>/ensemble_uncertainty.npy, <out>/../ensemble_out/..., ./ensemble_out/...).
+    Returns a (T, H25, W25) array or None."""
+    import numpy as np
+
+    explicit = getattr(args, "uncertainty", None)
+    candidates = ([Path(explicit)] if explicit else
+                  [Path(out) / "ensemble_uncertainty.npy",
+                   Path(out).parent / "ensemble_out" / "ensemble_uncertainty.npy",
+                   Path("ensemble_out") / "ensemble_uncertainty.npy"])
+    for p in candidates:
+        if not p.exists():
+            continue
+        unc = np.load(p).squeeze()          # (T,1,H,W) -> (T,H,W)
+        if unc.ndim != 3 or unc.shape[0] != n_time:
+            print(f"warning: {p} has shape {unc.shape}, expected "
+                  f"({n_time}, H, W) [chronological unaugmented series] — "
+                  "skipping the uncertainty variable", file=sys.stderr)
+            return None
+        print(f"uncertainty: {p}", file=sys.stderr)
+        return unc
+    if explicit:
+        raise FileNotFoundError(f"--uncertainty {explicit} not found")
+    return None
+
+
 def cmd_infer(args) -> int:
     from gan_danet_tpu.data.pipeline import load_or_build_cache
     from gan_danet_tpu.infer.downscale import predict_005, predict_025
@@ -133,6 +190,16 @@ def cmd_infer(args) -> int:
 
     cfg = _load_config(args)
     data = load_or_build_cache(cfg.data, augmented=False)
+    # The cache may hold the AUGMENTED series (the train command builds it
+    # augmented); inference products are chronological originals — the
+    # reference's exports carry T=181 time axes (test.ipynb cell 3,
+    # res_t=181 NetCDF) and the ensemble uncertainty chain assumes the
+    # same length. load_data_with_augmentation concatenates the original
+    # series first, so the first n_time samples ARE the originals in
+    # time order.
+    n = min(cfg.data.n_time, data[0][0].shape[0])
+    ([d05, t05], [d25, t25], aux, s05, s025, sa) = data
+    data = ([d05[:n], t05[:n]], [d25[:n], t25[:n]], aux[:n], s05, s025, sa)
     trainer = ModelTrainer(cfg, data=data, logger=_logger(args),
                            generator=_make_generator(args, cfg))
     trainer.restore_checkpoint(args.checkpoint or None)
@@ -153,9 +220,10 @@ def cmd_infer(args) -> int:
               "that fits HBM and ~25% overlap — see infer/tiling.py for "
               "the measured error band", file=sys.stderr)
         fn2 = tiled_apply_fn(fn, (th, tw), overlap=args.tile_overlap)
+    unc = _load_uncertainty(args, out, data[1][0].shape[0])
     s2 = predict_005(fn2, data, mask,
                      bias_high=s1.bias_high, stage1_series=s1.series_pred,
-                     export_dir=out)
+                     uncertainty=unc, export_dir=out)
     print(json.dumps({"out_dir": out, "pearson_025": s1.pearson_r,
                       "pearson_005": s2.pearson_r}))
     return 0
@@ -255,6 +323,15 @@ def main(argv=None) -> int:
         p.add_argument("--batch-size", type=int, dest="batch_size")
         p.add_argument("--log", help="metrics JSONL path")
         p.add_argument("--out", help="output directory/file")
+        p.add_argument("--device-preprocess", action="store_true",
+                       dest="device_preprocess",
+                       help="run standardise/smooth/STL/FFT-augment as "
+                            "jit-compiled device programs "
+                            "(DataConfig.device_preprocess)")
+        p.add_argument("--mesh",
+                       help="device mesh: 'auto' (size from config), "
+                            "'ExD' (ensemble x data, e.g. 2x4), or a "
+                            "data-parallel width (e.g. 8)")
 
     for name, fn in [("data", cmd_data), ("train", cmd_train),
                      ("ensemble", cmd_ensemble), ("infer", cmd_infer),
@@ -274,6 +351,11 @@ def main(argv=None) -> int:
                                 "reference trains on pretrained VGG19)")
         if name == "infer":
             p.add_argument("--checkpoint")
+            p.add_argument("--uncertainty",
+                           help="ensemble_uncertainty.npy from the "
+                                "`ensemble` command; auto-detected next to "
+                                "--out when omitted — becomes the NetCDF "
+                                "`uncertainty` variable (test.ipynb:613)")
             p.add_argument("--tile",
                            help="run stage 2 tile-wise, e.g. '44x90' "
                                 "(HxW input tile); default whole-raster")

@@ -68,11 +68,52 @@ def test_cli_ensemble(tiny_cfg, tmp_path, capsys):
     for i in range(2):
         assert (out_dir / "ensemble_models"
                 / f"best_model_member_{i}.npz").exists()
-    # series artifacts are (T,); the uncertainty map is per-pixel
+    # series artifacts are chronological (n_time,); the per-pixel std map
+    # keeps the channel axis like the reference's (N,1,H,W) member-std
     series = np.load(out_dir / "ensemble_uncertainty_averaged.npy")
     pixel = np.load(out_dir / "ensemble_uncertainty.npy")
-    assert series.ndim == 1 and pixel.ndim == 3
-    assert pixel.shape[0] == series.shape[0]
+    assert series.shape == (24,)          # original length, NOT augmented 72
+    assert pixel.shape == (24, 1, 16, 20)
+
+
+def test_cli_ensemble_then_infer_uncertainty_chain(tiny_cfg, tmp_path, capsys):
+    """The headless flagship product chain (reference test.ipynb:613):
+    `ensemble` writes ensemble_uncertainty.npy; `infer --uncertainty` (or
+    auto-detection) zooms it x5 into the 0.05deg NetCDF's `uncertainty`
+    variable alongside `data`."""
+    from gan_danet_tpu.data.ncio import read_nc
+
+    ens_dir = tmp_path / "ensemble_out"
+    assert main(["ensemble", "--config", tiny_cfg, "--members", "2",
+                 "--out", str(ens_dir)]) == 0
+    capsys.readouterr()
+
+    # train a flagship checkpoint for infer to restore
+    assert main(["train", "--config", tiny_cfg]) == 0
+    capsys.readouterr()
+
+    inf_dir = tmp_path / "inf"
+    assert main(["infer", "--config", tiny_cfg, "--out", str(inf_dir),
+                 "--uncertainty",
+                 str(ens_dir / "ensemble_uncertainty.npy")]) == 0
+    capsys.readouterr()
+    nc = inf_dir / "downscaled_grace_tws_data_with_uncertainty_gan_danet.nc"
+    variables, _attrs = read_nc(nc)
+    assert "uncertainty" in variables and "data" in variables
+    unc = variables["uncertainty"]
+    # chronological T x 0.05deg grid; the file layout is (time, lon, lat)
+    # like the reference's data variable
+    assert unc.shape == (24, 100, 80)
+    inside = unc[np.isfinite(unc)]
+    assert inside.size > 0 and (inside >= 0).all()
+
+    # auto-detection: <out>/../ensemble_out/ensemble_uncertainty.npy
+    inf2 = tmp_path / "inf2"
+    assert main(["infer", "--config", tiny_cfg, "--out", str(inf2)]) == 0
+    capsys.readouterr()
+    v2, _ = read_nc(
+        inf2 / "downscaled_grace_tws_data_with_uncertainty_gan_danet.nc")
+    assert "uncertainty" in v2 and v2["uncertainty"].shape == (24, 100, 80)
 
 
 def test_cli_diffusion(tiny_cfg, tmp_path, capsys):
