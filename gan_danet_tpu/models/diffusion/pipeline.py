@@ -79,6 +79,19 @@ class LatentDiffusion:
                  sample_cond_shape: Optional[Tuple[int, ...]] = None):
         self.config = config
         c = config
+        # the VAE downsamples 2^(stages-1) and the SD-topology UNet
+        # downsamples at EVERY level (reference 3.unet.ipynb), so the
+        # image size must divide the whole ladder — fail here with the
+        # formula instead of an opaque concatenate shape error deep inside
+        # UNet init (cli.py crops with the same divisor)
+        div = 2 ** (len(c.vae_channels) - 1) * 2 ** len(c.unet_channels)
+        h, w = sample_image_hw
+        if h % div or w % div:
+            raise ValueError(
+                f"sample_image_hw {sample_image_hw} must be divisible by "
+                f"{div} (= 2^(len(vae_channels)-1) * 2^len(unet_channels) "
+                f"= 2^{len(c.vae_channels) - 1} * 2^{len(c.unet_channels)}); "
+                f"crop to ({h - h % div}, {w - w % div})")
         self.scheduler = DDPMScheduler(c.num_train_timesteps)
         self.vae = VAE(c.vae_channels, c.latent_channels, c.image_channels)
         self.unet = UNet(c.latent_channels, c.latent_channels,

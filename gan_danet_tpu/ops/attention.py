@@ -106,20 +106,29 @@ def _pam_flash_bwd(res, g):
 _pam_flash.defvjp(_pam_flash_fwd, _pam_flash_bwd)
 
 
-# Below this token count the fully-materialised (N,N) form is preferred on
+# Below this budget the fully-materialised (B,N,N) form is preferred on
 # TPU: XLA fuses the softmax into the two MXU matmuls and beats the flash
-# kernel inside the full train step (N=990: 805 -> 838 samples/s, round-3
-# interleaved measurement). Above it, (N,N) grows past HBM-bandwidth
-# comfort ((2048, 2048) f32 = 16 MiB per sample; the 0.05deg spec's
-# N=15,840 would be 1 GiB) and the O(block)-memory flash kernel wins.
+# kernel inside the full train step (N=990, B=12: 805 -> 838 samples/s,
+# round-3 interleaved measurement). Above it, B*(N,N) grows past
+# HBM-bandwidth comfort ((2048, 2048) f32 = 16 MiB per sample, doubled
+# under grad residuals; the 0.05deg spec's N=15,840 would be 1 GiB/sample)
+# and the O(block)-memory flash kernel wins. The budget is expressed as
+# batch * tokens^2 so a large-B or vmapped caller just under a pure
+# token-count wall cannot OOM (round-3 advisor finding): with the
+# reference batch 12 the crossover stays at N=2048.
 PAM_MATERIALISE_MAX_TOKENS = 2048
+_PAM_REFERENCE_BATCH = 12
+PAM_MATERIALISE_BUDGET = _PAM_REFERENCE_BATCH * PAM_MATERIALISE_MAX_TOKENS**2
 
 
-def resolve_pam_impl(backend: str, n_tokens: int) -> str:
-    """impl='auto' policy: materialised below the memory wall on TPU,
-    flash kernel above, XLA-blocked scan everywhere else."""
+def resolve_pam_impl(backend: str, n_tokens: int, batch: int = 1) -> str:
+    """impl='auto' policy: materialised below the memory budget on TPU,
+    flash kernel above, XLA-blocked scan everywhere else. The budget
+    counts batch * tokens^2 energy entries (what actually occupies HBM),
+    not tokens alone."""
     if backend == "tpu":
-        return ("naive" if n_tokens <= PAM_MATERIALISE_MAX_TOKENS
+        return ("naive"
+                if max(1, batch) * n_tokens**2 <= PAM_MATERIALISE_BUDGET
                 else "pallas")
     return "xla"
 
@@ -136,7 +145,8 @@ def pam_attention(
     impl: 'auto' | 'pallas' | 'xla' | 'naive'.
     """
     if impl == "auto":
-        impl = resolve_pam_impl(jax.default_backend(), q.shape[1])
+        impl = resolve_pam_impl(jax.default_backend(), q.shape[1],
+                                q.shape[0])
     if impl == "pallas":
         return _pam_flash(q, k, v)
     if impl == "xla":

@@ -61,19 +61,28 @@ def test_pam_dispatcher_cpu(rng):
 
 
 def test_pam_auto_impl_policy():
-    """'auto' picks the materialised form below the TPU memory wall
-    (train spec N=990 — measured faster than the flash kernel on the full
-    step), the flash kernel above it (0.05deg spec N=15,840 — (N,N) would
-    be 1 GiB), and the XLA-blocked scan off-TPU."""
+    """'auto' picks the materialised form below the TPU memory budget
+    (train spec N=990, B=12 — measured faster than the flash kernel on the
+    full step), the flash kernel above it (0.05deg spec N=15,840 — (N,N)
+    would be 1 GiB/sample), and the XLA-blocked scan off-TPU. The budget
+    is batch-aware (round-3 advisor finding): batch * tokens^2 is what
+    occupies HBM, so a large batch flips to the flash kernel at a smaller
+    N than the reference batch of 12 does."""
     from gan_danet_tpu.ops.attention import (
         PAM_MATERIALISE_MAX_TOKENS,
         resolve_pam_impl,
     )
 
-    assert resolve_pam_impl("tpu", 990) == "naive"
-    assert resolve_pam_impl("tpu", PAM_MATERIALISE_MAX_TOKENS) == "naive"
-    assert resolve_pam_impl("tpu", PAM_MATERIALISE_MAX_TOKENS + 1) == "pallas"
-    assert resolve_pam_impl("tpu", 88 * 180) == "pallas"
+    wall = PAM_MATERIALISE_MAX_TOKENS
+    assert resolve_pam_impl("tpu", 990, batch=12) == "naive"
+    assert resolve_pam_impl("tpu", wall, batch=12) == "naive"
+    assert resolve_pam_impl("tpu", wall + 1, batch=12) == "pallas"
+    assert resolve_pam_impl("tpu", 88 * 180, batch=1) == "pallas"
+    # batch-awareness: 96x the HBM at the old token wall -> flash kernel;
+    # a single sample can afford more tokens than the B=12 crossover
+    assert resolve_pam_impl("tpu", wall, batch=96) == "pallas"
+    assert resolve_pam_impl("tpu", 2 * wall, batch=1) == "naive"
+    assert resolve_pam_impl("tpu", 4 * wall, batch=1) == "pallas"
     assert resolve_pam_impl("cpu", 990) == "xla"
     assert resolve_pam_impl("cpu", 10**6) == "xla"
 

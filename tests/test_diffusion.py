@@ -28,6 +28,119 @@ def test_scheduler_add_noise_limits(rng):
     assert float(jnp.mean(jnp.abs(x999 - n))) < 0.35
 
 
+def test_scheduler_schedule_pinned_literals():
+    """Independent oracle for the scaled-linear schedule (round-3 verdict
+    item #7): the literals below were derived with plain-Python scalar
+    math, NOT the module's vectorised numpy path —
+      beta_i = (sqrt(b0) + i*(sqrt(b1)-sqrt(b0))/(N-1))**2
+    (the diffusers DDPMScheduler 'scaled_linear' definition the reference
+    relies on, 4.train.ipynb cells 4-5: linspace in sqrt-beta space,
+    squared) and abar_t = prod_{i<=t}(1-beta_i) accumulated as a scalar
+    product. Any regression in linspace endpoints, the squaring, or the
+    cumprod breaks these pins."""
+    s = DDPMScheduler(1000, beta_start=0.00085, beta_end=0.012)
+    beta_pins = {0: 8.49999999999999953e-04,
+                 1: 8.54698655405686193e-04,
+                 500: 4.81495414171187984e-03,
+                 980: 1.16673649347646558e-02,
+                 999: 1.20000000000000002e-02}
+    for i, v in beta_pins.items():
+        np.testing.assert_allclose(s.betas[i], v, rtol=1e-12)
+    abar_pins = {0: 9.99149999999999983e-01,
+                 1: 9.98296027838451394e-01,
+                 499: 2.77669650456467632e-01,
+                 500: 2.76332683822974601e-01,
+                 960: 7.36524463386972056e-03,
+                 980: 5.84378331868328806e-03,
+                 999: 4.66009851307723402e-03}
+    for i, v in abar_pins.items():
+        np.testing.assert_allclose(s.alphas_cumprod[i], v, rtol=1e-10)
+    # monotone decreasing, within (0, 1)
+    assert (np.diff(s.alphas_cumprod) < 0).all()
+    assert 0 < s.alphas_cumprod[-1] < s.alphas_cumprod[0] < 1
+
+
+def test_scheduler_set_timesteps_stride():
+    """set_timesteps uses the diffusers leading-stride: step = N // n_inf,
+    timesteps = [ (n_inf-1)*step, ..., step, 0 ] — so 50 steps over 1000
+    training steps visit 980, 960, ..., 20, 0."""
+    s = DDPMScheduler(1000)
+    ts = s.set_timesteps(50)
+    assert ts[0] == 980 and ts[-1] == 0 and len(ts) == 50
+    assert (np.diff(ts) == -20).all()
+    ts10 = s.set_timesteps(10)
+    np.testing.assert_array_equal(ts10, np.arange(900, -1, -100))
+
+
+def test_scheduler_add_noise_golden():
+    """Hand-computed add_noise golden at a pinned timestep:
+    x_t = sqrt(abar)*x0 + sqrt(1-abar)*eps with abar[500] pinned above."""
+    s = DDPMScheduler(1000)
+    x0 = jnp.asarray([[1.0, -2.0]], jnp.float32)
+    eps = jnp.asarray([[0.5, 1.0]], jnp.float32)
+    got = np.asarray(s.add_noise(x0, eps, jnp.array([500])))
+    import math
+
+    abar = 2.76332683822974601e-01
+    want = np.array([[math.sqrt(abar) * 1.0 + math.sqrt(1 - abar) * 0.5,
+                      math.sqrt(abar) * -2.0 + math.sqrt(1 - abar) * 1.0]])
+    np.testing.assert_allclose(got, want, rtol=1e-6)
+
+
+def test_scheduler_step_golden_hand_computed():
+    """One ancestral step at t=980 with 50 inference steps, hand-computed
+    from Ho et al. (2020) eq. 6-7 with scalar math:
+      beta_t   = 1 - abar_t/abar_prev          (effective beta over the
+                                                20-step stride)
+      x0_hat   = (x_t - sqrt(1-abar_t) eps) / sqrt(abar_t)
+      mean     = sqrt(abar_prev) beta_t/(1-abar_t) x0_hat
+               + sqrt(1-beta_t) (1-abar_prev)/(1-abar_t) x_t
+      var      = beta_t (1-abar_prev)/(1-abar_t)
+    using the pinned abar[980], abar[960] literals. Also checks the
+    stochastic branch reproduces mean + sqrt(var)*normal(key) and that the
+    terminal step (prev_t < 0) adds NO noise and uses abar_prev = 1."""
+    import math
+
+    s = DDPMScheduler(1000)
+    s.set_timesteps(50)
+    abar_t = 5.84378331868328806e-03     # abar[980], pinned
+    abar_prev = 7.36524463386972056e-03  # abar[960], pinned
+
+    xt = jnp.asarray([[0.8, -1.2]], jnp.float32)
+    eps = jnp.asarray([[0.3, -0.4]], jnp.float32)
+
+    beta_t = 1.0 - abar_t / abar_prev
+    x0_hat = (np.asarray(xt) - math.sqrt(1 - abar_t) * np.asarray(eps)) \
+        / math.sqrt(abar_t)
+    c0 = math.sqrt(abar_prev) * beta_t / (1 - abar_t)
+    ct = math.sqrt(1 - beta_t) * (1 - abar_prev) / (1 - abar_t)
+    want_mean = c0 * x0_hat + ct * np.asarray(xt)
+
+    got = np.asarray(s.step(eps, 980, xt, key=None))
+    np.testing.assert_allclose(got, want_mean, rtol=1e-6)
+
+    # stochastic branch: mean + sqrt(var) * normal(key)
+    key = jax.random.PRNGKey(7)
+    var = beta_t * (1 - abar_prev) / (1 - abar_t)
+    draw = np.asarray(jax.random.normal(key, xt.shape, xt.dtype))
+    got_noisy = np.asarray(s.step(eps, 980, xt, key=key))
+    np.testing.assert_allclose(got_noisy,
+                               want_mean + math.sqrt(var) * draw, rtol=1e-6)
+
+    # terminal step: t=0 -> prev_t=-20 < 0 -> abar_prev=1, no noise even
+    # with a key (the reference sampler's last step is deterministic)
+    abar_0 = 9.99149999999999983e-01     # abar[0], pinned
+    beta_0 = 1.0 - abar_0 / 1.0
+    x0_hat0 = (np.asarray(xt) - math.sqrt(1 - abar_0) * np.asarray(eps)) \
+        / math.sqrt(abar_0)
+    mean0 = (math.sqrt(1.0) * beta_0 / (1 - abar_0)) * x0_hat0 \
+        + (math.sqrt(1 - beta_0) * (1 - 1.0) / (1 - abar_0)) * np.asarray(xt)
+    got0 = np.asarray(s.step(eps, 0, xt, key=jax.random.PRNGKey(3)))
+    np.testing.assert_allclose(got0, mean0, rtol=1e-5, atol=1e-7)
+    # with abar_prev = 1 the mean collapses to x0_hat exactly
+    np.testing.assert_allclose(got0, x0_hat0, rtol=1e-5, atol=1e-7)
+
+
 def test_scheduler_step_denoises_perfect_eps(rng):
     """With the true noise as model output, iterated steps recover x0."""
     s = DDPMScheduler(1000)
@@ -40,6 +153,16 @@ def test_scheduler_step_denoises_perfect_eps(rng):
         eps = (z - np.sqrt(abar) * x0) / np.sqrt(1 - abar)  # exact eps for z
         z = s.step(eps, int(t), z, key=None)
     np.testing.assert_allclose(np.asarray(z), np.asarray(x0), atol=1e-3)
+
+
+def test_latent_diffusion_rejects_indivisible_size():
+    """Library callers with a non-ladder-divisible image size get an
+    explicit error with the divisor formula (round-3 advisor finding)
+    instead of an opaque concatenate shape error inside UNet init."""
+    from gan_danet_tpu.models.diffusion import DiffusionConfig, LatentDiffusion
+
+    with pytest.raises(ValueError, match="divisible by 8"):
+        LatentDiffusion(DiffusionConfig(), sample_image_hw=(30, 32))
 
 
 def test_text_encoder_shape():

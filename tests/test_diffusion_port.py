@@ -31,6 +31,12 @@ from gan_danet_tpu.utils.torch_port import (
 
 
 def _exec_notebook_cells(path, cell_indices):
+    """TRUST NOTE: this exec()s code cells straight out of the read-only
+    vendored reference snapshot at /root/reference — third-party content.
+    That is acceptable ONLY because the snapshot is pinned and read-only
+    in this environment; the cells are used as numerical oracles, never
+    shipped. If the reference path ever becomes writable or fetched at
+    test time, pin the cell sources by hash before exec'ing."""
     nb = json.loads(open(path).read())
     cells = [c for c in nb["cells"] if c["cell_type"] == "code"]
     ns = {"__name__": "_ref_diffusion"}
