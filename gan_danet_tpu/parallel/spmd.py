@@ -16,7 +16,8 @@ from jax.sharding import Mesh, PartitionSpec as P
 from gan_danet_tpu.core.meshes import ENSEMBLE_AXIS
 
 
-def make_ensemble_step(stacked_step: Callable, mesh: Mesh) -> Callable:
+def make_ensemble_step(stacked_step: Callable, mesh: Mesh,
+                       member_batches: bool = False) -> Callable:
     """Wrap a member-stacked train step for the ('ensemble','data') mesh.
 
     Manual-SPMD over 'ensemble' (each shard trains its local members) while
@@ -38,10 +39,14 @@ def make_ensemble_step(stacked_step: Callable, mesh: Mesh) -> Callable:
     (per-batch dispatch costs 8-60x wall time on remote TPU backends,
     DESIGN.md §6; a multi-chip slice must not reinherit that tax).
     """
+    # member_batches: the batch arrays carry a leading member axis (each
+    # member consumes its own shuffled order, reference parity) — shard
+    # it over 'ensemble' alongside the states
+    batch_spec = P(ENSEMBLE_AXIS) if member_batches else P()
     sharded = jax.shard_map(
         stacked_step,
         mesh=mesh,
-        in_specs=(P(ENSEMBLE_AXIS), P(), P()),
+        in_specs=(P(ENSEMBLE_AXIS), batch_spec, P()),
         out_specs=(P(ENSEMBLE_AXIS), P(ENSEMBLE_AXIS)),
         axis_names={ENSEMBLE_AXIS},
         check_vma=False,

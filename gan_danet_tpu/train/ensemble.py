@@ -59,7 +59,14 @@ class EnsembleTrainer:
         data: Optional[Tuple] = None,
         logger: Optional[MetricsLogger] = None,
         mesh=None,
+        per_member_batches: bool = True,
     ):
+        """per_member_batches: each member consumes its OWN shuffled batch
+        order per epoch, drawn from a per-member rng seeded seed+i — the
+        reference's members each create a fresh shuffled DataLoader under
+        set_seed(42+i) (deep_ensemble.ipynb train_ensemble), so their
+        orders are independent. False shares one order across members
+        (the round-3 behaviour; cheaper gathers, ledgered deviation)."""
         # Per-path shuffle parity: the reference's deep-ensemble
         # ModelTrainer copy uses DataLoader(train, shuffle=True) where the
         # main notebook's does not (deep_ensemble.ipynb cell 0) — override
@@ -93,11 +100,18 @@ class EnsembleTrainer:
         ]
         self.state = jax.tree.map(lambda *xs: jnp.stack(xs), *states)
 
+        self.per_member_batches = per_member_batches
+        self._member_rngs = [
+            np.random.default_rng(config.train.seed + i)
+            for i in range(num_ensemble)
+        ]
+
         single = self.base._train_step.raw
         # scan (not vmap) over the member axis: vmapped member-stacked
         # convs lower to grouped convolutions that the TPU serialises at
         # ~7x the cost (see loops.make_stacked_step)
-        stacked = make_stacked_step(single)
+        stacked = make_stacked_step(single,
+                                    per_member_batch=per_member_batches)
         eval_stacked = make_stacked_eval(self.base._eval_step)
         if mesh is not None:
             from gan_danet_tpu.parallel.spmd import (
@@ -105,7 +119,8 @@ class EnsembleTrainer:
                 make_ensemble_step,
             )
 
-            self._ensemble_step = make_ensemble_step(stacked, mesh)
+            self._ensemble_step = make_ensemble_step(
+                stacked, mesh, member_batches=per_member_batches)
             step_for_epoch = self._ensemble_step.raw
             # eval shards members too (round-3 verdict weak #5: a slice
             # must not predict at single-shard speed)
@@ -126,7 +141,23 @@ class EnsembleTrainer:
         self._dev_train = None
         self._aug_key = jax.random.PRNGKey(config.train.seed)
         self._epoch_fn = make_epoch_fn(step_for_epoch, config.train.augment,
-                                       mesh=mesh)
+                                       mesh=mesh,
+                                       member_batches=per_member_batches)
+
+    # ------------------------------------------------------------------
+    def _member_epoch_indices(self) -> np.ndarray:
+        """(n_batches, members, B) gather indices: each member's own
+        shuffled order per epoch (reference deep_ensemble.ipynb: member i
+        shuffles its DataLoader under set_seed(seed+i))."""
+        from gan_danet_tpu.train.loops import batch_index_matrix
+
+        loader = self.base.train_loader
+        n = len(loader.dataset)
+        mats = []
+        for rng in self._member_rngs:
+            order = rng.permutation(n) if loader.shuffle else np.arange(n)
+            mats.append(batch_index_matrix(order, loader.batch_size))
+        return np.stack(mats, axis=1)
 
     # ------------------------------------------------------------------
     def train_ensemble(self):
@@ -144,7 +175,9 @@ class EnsembleTrainer:
         for epoch in range(tc.epochs):
             lw = jnp.float32(epoch / tc.epochs)
             self._aug_key, ek = jax.random.split(self._aug_key)
-            idx = jnp.asarray(self.base._epoch_indices())
+            idx = jnp.asarray(self._member_epoch_indices()
+                              if self.per_member_batches
+                              else self.base._epoch_indices())
             self.state, gs, _ = self._epoch_fn(self.state, self._dev_train,
                                                idx, lw, ek)
             avg = np.asarray(gs.mean(axis=0))          # (members,)

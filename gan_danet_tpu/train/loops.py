@@ -54,7 +54,8 @@ def gather_batch(data: Dict[str, jnp.ndarray], idx: jnp.ndarray):
     return {k: jnp.take(v, idx, axis=0) for k, v in data.items()}
 
 
-def make_stacked_step(single_step: Callable) -> Callable:
+def make_stacked_step(single_step: Callable,
+                      per_member_batch: bool = False) -> Callable:
     """Compose a single-member train step over a leading member axis via
     lax.scan (NOT vmap): vmapping member-stacked conv params lowers to
     grouped convolutions, which the TPU backend effectively serialises at
@@ -67,14 +68,27 @@ def make_stacked_step(single_step: Callable) -> Callable:
 
     single_step(state, batch, lw) -> (state, metrics);
     returns stacked(states, batch, lw) -> (states, metrics) with leading
-    member axes."""
+    member axes. With per_member_batch=True the batch arrays carry a
+    leading member axis too and each member consumes its own batch — the
+    reference's members each draw an independent shuffled order from
+    their own seed (deep_ensemble.ipynb set_seed(42+i) before each
+    member's DataLoader)."""
 
     def stacked(states, batch, loss_weight):
-        def body(carry, st):
-            ns, m = single_step(st, batch, loss_weight)
-            return carry, (ns, m)
+        if per_member_batch:
+            def body(carry, st_b):
+                st, b = st_b
+                ns, m = single_step(st, b, loss_weight)
+                return carry, (ns, m)
 
-        _, (new_states, metrics) = jax.lax.scan(body, None, states)
+            _, (new_states, metrics) = jax.lax.scan(body, None,
+                                                    (states, batch))
+        else:
+            def body(carry, st):
+                ns, m = single_step(st, batch, loss_weight)
+                return carry, (ns, m)
+
+            _, (new_states, metrics) = jax.lax.scan(body, None, states)
         return new_states, metrics
 
     return stacked
@@ -98,7 +112,8 @@ def make_stacked_eval(eval_single: Callable) -> Callable:
     return stacked
 
 
-def make_epoch_fn(step_fn: Callable, augment: bool, mesh=None) -> Callable:
+def make_epoch_fn(step_fn: Callable, augment: bool, mesh=None,
+                  member_batches: bool = False) -> Callable:
     """One jitted program per training epoch.
 
     step_fn(state, batch, loss_weight) -> (state, metrics with loss_g/loss_d)
@@ -112,14 +127,21 @@ def make_epoch_fn(step_fn: Callable, augment: bool, mesh=None) -> Callable:
     (gradient allreduce + cross-shard BN collectives over ICI, inserted by
     XLA) — semantics identical to single-device (global BN over the full
     batch), verified in tests/test_train.py.
+
+    member_batches=True pairs with a per-member-batch stacked step:
+    idx_batches is (n_batches, members, B), the gathered batch carries a
+    leading member axis (sharded over 'ensemble' on a mesh), and
+    augmentation draws one key per member.
     """
     constraint = None
     if mesh is not None:
         from jax.sharding import NamedSharding, PartitionSpec as P
 
-        from gan_danet_tpu.core.meshes import DATA_AXIS
+        from gan_danet_tpu.core.meshes import DATA_AXIS, ENSEMBLE_AXIS
 
-        constraint = NamedSharding(mesh, P(DATA_AXIS))
+        spec = (P(ENSEMBLE_AXIS, DATA_AXIS) if member_batches
+                else P(DATA_AXIS))
+        constraint = NamedSharding(mesh, spec)
 
     def epoch_fn(state, data, idx_batches, loss_weight, aug_key):
         def body(carry, idx):
@@ -130,7 +152,12 @@ def make_epoch_fn(step_fn: Callable, augment: bool, mesh=None) -> Callable:
                     batch, {k: constraint for k in batch})
             if augment:
                 key, k = jax.random.split(key)
-                batch = apply_augmentation(batch, k)
+                if member_batches:
+                    n_members = idx.shape[0]
+                    batch = jax.vmap(apply_augmentation)(
+                        batch, jax.random.split(k, n_members))
+                else:
+                    batch = apply_augmentation(batch, k)
             st, metrics = step_fn(st, batch, loss_weight)
             return (st, key), (metrics["loss_g"], metrics["loss_d"])
 

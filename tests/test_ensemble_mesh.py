@@ -50,7 +50,9 @@ def mesh():
 
 def test_mesh_step_matches_single_device_path(mesh):
     """One ensemble step on the (2x4) mesh produces the same losses and
-    parameters as the mesh-free scan-stacked step for identical seeds."""
+    parameters as the mesh-free scan-stacked step for identical seeds.
+    Batches carry a leading member axis (per-member orders, reference
+    parity) sharded over 'ensemble'."""
     from jax.sharding import NamedSharding, PartitionSpec as P
 
     cfg, data = _cfg_and_data(batch_size=8)
@@ -58,13 +60,15 @@ def test_mesh_step_matches_single_device_path(mesh):
     ens_ref = EnsembleTrainer(cfg, num_ensemble=2, data=data)
 
     batch = jax.tree.map(jnp.asarray, next(iter(ens_ref.base.train_loader)))
+    batch = jax.tree.map(lambda x: jnp.stack([x, x]), batch)  # member axis
     lw = jnp.float32(0.25)
 
     state_m = jax.tree.map(
         lambda x: jax.device_put(x, NamedSharding(mesh, P("ensemble"))),
         ens_mesh.state)
     batch_m = jax.tree.map(
-        lambda x: jax.device_put(x, NamedSharding(mesh, P("data"))), batch)
+        lambda x: jax.device_put(x, NamedSharding(mesh, P("ensemble", "data"))),
+        batch)
     new_m, metrics_m = ens_mesh._ensemble_step(state_m, batch_m, lw)
     new_r, metrics_r = ens_ref._ensemble_step(ens_ref.state, batch, lw)
 
