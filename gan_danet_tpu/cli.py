@@ -207,7 +207,8 @@ def cmd_infer(args) -> int:
     mask = _load_mask(cfg, args)
     out = args.out or "inference_out"
     fn = trainer.apply_fn()
-    s1 = predict_025(fn, data, mask, export_dir=out)
+    mesh = _make_mesh(args, cfg)
+    s1 = predict_025(fn, data, mask, export_dir=out, mesh=mesh)
     fn2 = fn
     if getattr(args, "tile", None):
         # beyond-0.05deg memory headroom: run stage 2 tile-wise with halo
@@ -223,7 +224,7 @@ def cmd_infer(args) -> int:
     unc = _load_uncertainty(args, out, data[1][0].shape[0])
     s2 = predict_005(fn2, data, mask,
                      bias_high=s1.bias_high, stage1_series=s1.series_pred,
-                     uncertainty=unc, export_dir=out)
+                     uncertainty=unc, export_dir=out, mesh=mesh)
     print(json.dumps({"out_dir": out, "pearson_025": s1.pearson_r,
                       "pearson_005": s2.pearson_r}))
     return 0

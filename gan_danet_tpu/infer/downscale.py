@@ -56,20 +56,37 @@ def make_apply_fn(generator, params, batch_stats=None):
 
 
 def _scan_batches(step, arrs, n: int, batch_size: int,
-                  to_host: bool = True):
+                  to_host: bool = True, mesh=None):
     """Run `step` over the whole (device-resident) series as ONE scanned
     program: per-batch Python dispatch + host->device copies dominate wall
     time on remote TPUs. Wrap-around padding mirrors Batcher; returns the
     de-padded (T, H, W) stack — on host by default, or as a device array
     (to_host=False) so downstream post-processing can stay device-resident
     (every host materialisation of a (181,440,900) cube costs a ~300 MB
-    transfer on tunneled backends)."""
+    transfer on tunneled backends).
+
+    With a mesh, each gathered batch is sharding-constrained over 'data'
+    so GSPMD partitions the generator forward across the slice — the
+    inference pipelines scale like training does (train/loops.py)."""
+    constraint = None
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from gan_danet_tpu.core.meshes import DATA_AXIS
+
+        constraint = NamedSharding(mesh, P(DATA_AXIS))
+        rep = NamedSharding(mesh, P())
+        arrs = {k: jax.device_put(np.asarray(v), rep)
+                for k, v in arrs.items()}
     nb = -(-n // batch_size)
     idx = jnp.asarray(np.resize(np.arange(n), nb * batch_size)
                       .reshape(nb, batch_size))
 
     def body(_, ids):
         batch = {k: jnp.take(v, ids, axis=0) for k, v in arrs.items()}
+        if constraint is not None:
+            batch = jax.lax.with_sharding_constraint(
+                batch, {k: constraint for k in batch})
         return None, step(batch)
 
     _, outs = jax.lax.scan(body, None, idx)           # (nb, B, H, W, 1)
@@ -103,6 +120,7 @@ def predict_025(
     batch_size: int = 8,
     hist_weight: float = 0.2,
     export_dir: Optional[str] = None,
+    mesh=None,
 ) -> Stage1Result:
     """`apply_fn(x: (B,H/4,W/4,46)) -> (B,H,W,1)` — build one with
     `make_apply_fn(generator, params, batch_stats)`."""
@@ -119,7 +137,7 @@ def predict_025(
     arrs = {"lr05": jnp.asarray(lr05[..., None]),
             "lr025": jnp.asarray(lr025[..., None]),
             "aux": jnp.asarray(hr_aux)}
-    res = _scan_batches(step, arrs, lr05.shape[0], batch_size)
+    res = _scan_batches(step, arrs, lr05.shape[0], batch_size, mesh=mesh)
 
     res = res + trend25
     truth = lr025 + trend25
@@ -170,6 +188,7 @@ def predict_005(
     blend_region: Optional[Tuple[int, int, int, int]] = None,
     blend_sigma: int = 5,
     export_dir: Optional[str] = None,
+    mesh=None,
 ) -> Stage2Result:
     ([_lr05, _t05], [lr025, trend25], hr_aux, _s05, s025, _sa) = data
     h25, w25 = lr025.shape[1:3]
@@ -197,7 +216,7 @@ def predict_005(
     from gan_danet_tpu.ops.resize import spline_zoom2d
 
     res_dev = _scan_batches(step, arrs, lr025.shape[0], batch_size,
-                            to_host=False)
+                            to_host=False, mesh=mesh)
     trend_ups = spline_zoom2d(jnp.asarray(trend25, jnp.float32),
                               (h005, w005), order=3)
     res_dev = res_dev + trend_ups

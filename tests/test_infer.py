@@ -104,3 +104,40 @@ def test_exported_nc_is_readable(trained, tmp_path):
         np.transpose(variables["data"], (0, 2, 1)), data_cm, rtol=1e-6)
     assert attrs["model"] == "GAN-DANet"
     assert variables["lat"][0] == pytest.approx(24.025)
+
+
+def test_predict_025_mesh_matches_single_device(trained, tmp_path):
+    """Stage-1 inference sharded over the mesh 'data' axis equals the
+    single-device run (eval-only — no reductions to reorder, so the
+    comparison is tight)."""
+    from gan_danet_tpu.core.meshes import make_mesh
+
+    trainer, data, raw = trained
+    if len(jax.devices()) < 4:
+        pytest.skip("needs the virtual multi-device mesh")
+    fn = trainer.apply_fn()
+    base = predict_025(fn, data, mask_high=raw.mask_high, batch_size=4)
+    mesh = make_mesh(n_ensemble=1, n_data=4)
+    dp = predict_025(fn, data, mask_high=raw.mask_high, batch_size=4,
+                     mesh=mesh)
+    # atol: stage 1 histogram-matches at weight 0.2 — a ~1e-7 resharding
+    # difference in a generator output can flip a sort tie and move one
+    # pixel to the adjacent quantile (measured: 1/23040 elements off by
+    # 2e-3); everything else matches to f32 noise
+    np.testing.assert_allclose(dp.pred, base.pred, rtol=1e-3, atol=5e-3)
+
+
+def test_predict_005_mesh_matches_single_device(trained):
+    from gan_danet_tpu.core.meshes import make_mesh
+
+    trainer, data, raw = trained
+    if len(jax.devices()) < 4:
+        pytest.skip("needs the virtual multi-device mesh")
+    fn = trainer.apply_fn()
+    base = predict_005(fn, data, mask_high=raw.mask_high, batch_size=4)
+    mesh = make_mesh(n_ensemble=1, n_data=4)
+    dp = predict_005(fn, data, mask_high=raw.mask_high, batch_size=4,
+                     mesh=mesh)
+    np.testing.assert_allclose(
+        np.nan_to_num(dp.pred_cm), np.nan_to_num(base.pred_cm),
+        rtol=1e-4, atol=1e-3)
