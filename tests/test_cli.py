@@ -32,6 +32,14 @@ def test_cli_data(tiny_cfg, capsys):
     assert out["samples"] == 72          # 24 x (1 + 2 augmented copies)
 
 
+def test_cli_data_device_preprocess(tiny_cfg, tmp_path, capsys):
+    """--device-preprocess builds the cache through the fused device
+    program; sample counts and aux channels match the host pipeline."""
+    assert main(["data", "--config", tiny_cfg, "--device-preprocess"]) == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["aux_channels"] == 45 and out["samples"] == 72
+
+
 def test_cli_train_then_infer(tiny_cfg, tmp_path, capsys):
     assert main(["train", "--config", tiny_cfg]) == 0
     out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
