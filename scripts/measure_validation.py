@@ -78,6 +78,14 @@ def main():
     dt = time.perf_counter() - t0
     print(json.dumps({"stage": "stage2_005", "s": round(dt, 1),
                       "pearson": round(float(s2.pearson_r), 4)}))
+    sys.stdout.flush()
+    # warm pass: generator + post-chain programs compile-cached — the
+    # steady-state production wall (exports included)
+    t0 = time.perf_counter()
+    predict_005(fn, data, mask, bias_high=bias, uncertainty=unc,
+                export_dir=out)
+    dt = time.perf_counter() - t0
+    print(json.dumps({"stage": "stage2_005_warm", "s": round(dt, 1)}))
 
 
 if __name__ == "__main__":
