@@ -55,8 +55,17 @@ def make_apply_fn(generator, params, batch_stats=None):
     return apply_fn
 
 
+# Per-process compile cache for the scanned prediction programs, keyed
+# on the caller's apply_fn closure (weakly, so trainer teardown frees
+# it) then on the static step configuration. Each predict_* call builds
+# a fresh `step` closure, which would otherwise re-trace — and on a
+# remote-compile backend re-COMPILE — the whole scan per call (measured:
+# a "warm" repeat predict_005 cost the same minutes as the cold one).
+_SCAN_JIT_CACHE: "weakref.WeakKeyDictionary" = None  # initialised below
+
+
 def _scan_batches(step, arrs, n: int, batch_size: int,
-                  to_host: bool = True, mesh=None):
+                  to_host: bool = True, mesh=None, cache=None):
     """Run `step` over the whole (device-resident) series as ONE scanned
     program: per-batch Python dispatch + host->device copies dominate wall
     time on remote TPUs. Wrap-around padding mirrors Batcher; returns the
@@ -67,7 +76,14 @@ def _scan_batches(step, arrs, n: int, batch_size: int,
 
     With a mesh, each gathered batch is sharding-constrained over 'data'
     so GSPMD partitions the generator forward across the slice — the
-    inference pipelines scale like training does (train/loops.py)."""
+    inference pipelines scale like training does (train/loops.py).
+
+    cache=(anchor, key): reuse ONE jitted scan program per (anchor, key)
+    — `key` must capture everything `step`'s behaviour depends on beyond
+    the array arguments (stage tag, hist weight, shapes, mesh identity),
+    because the first call's `step` closure is the one that stays
+    compiled."""
+    global _SCAN_JIT_CACHE
     constraint = None
     if mesh is not None:
         from jax.sharding import NamedSharding, PartitionSpec as P
@@ -82,14 +98,33 @@ def _scan_batches(step, arrs, n: int, batch_size: int,
     idx = jnp.asarray(np.resize(np.arange(n), nb * batch_size)
                       .reshape(nb, batch_size))
 
-    def body(_, ids):
-        batch = {k: jnp.take(v, ids, axis=0) for k, v in arrs.items()}
-        if constraint is not None:
-            batch = jax.lax.with_sharding_constraint(
-                batch, {k: constraint for k in batch})
-        return None, step(batch)
+    def run_fn(arrs_, idx_):
+        def body(_, ids):
+            batch = {k: jnp.take(v, ids, axis=0) for k, v in arrs_.items()}
+            if constraint is not None:
+                batch = jax.lax.with_sharding_constraint(
+                    batch, {k: constraint for k in batch})
+            return None, step(batch)
 
-    _, outs = jax.lax.scan(body, None, idx)           # (nb, B, H, W, 1)
+        _, outs = jax.lax.scan(body, None, idx_)      # (nb, B, H, W, 1)
+        return outs
+
+    runner = run_fn
+    if cache is not None:
+        import weakref
+
+        if _SCAN_JIT_CACHE is None:
+            _SCAN_JIT_CACHE = weakref.WeakKeyDictionary()
+        anchor, key = cache
+        try:
+            per = _SCAN_JIT_CACHE.setdefault(anchor, {})
+        except TypeError:          # non-weakrefable callable: no caching
+            per = None
+        if per is not None:
+            if key not in per:
+                per[key] = jax.jit(run_fn)
+            runner = per[key]
+    outs = runner(arrs, idx)
     outs = outs.reshape(-1, *outs.shape[2:4])[:n]
     return np.asarray(outs) if to_host else outs
 
@@ -137,7 +172,10 @@ def predict_025(
     arrs = {"lr05": jnp.asarray(lr05[..., None]),
             "lr025": jnp.asarray(lr025[..., None]),
             "aux": jnp.asarray(hr_aux)}
-    res = _scan_batches(step, arrs, lr05.shape[0], batch_size, mesh=mesh)
+    cache_key = ("s1", float(hist_weight), coarse_hw,
+                 None if mesh is None else id(mesh))
+    res = _scan_batches(step, arrs, lr05.shape[0], batch_size, mesh=mesh,
+                        cache=(apply_fn, cache_key))
 
     res = res + trend25
     truth = lr025 + trend25
@@ -215,8 +253,12 @@ def predict_005(
     # slower over the tunneled chip, VALIDATION.md)
     from gan_danet_tpu.ops.resize import spline_zoom2d
 
+    cache_key = ("s2", float(hist_weight), (h005, w005),
+                 tuple(blend_region), int(blend_sigma),
+                 None if mesh is None else id(mesh))
     res_dev = _scan_batches(step, arrs, lr025.shape[0], batch_size,
-                            to_host=False, mesh=mesh)
+                            to_host=False, mesh=mesh,
+                            cache=(apply_fn, cache_key))
     trend_ups = spline_zoom2d(jnp.asarray(trend25, jnp.float32),
                               (h005, w005), order=3)
     res_dev = res_dev + trend_ups
