@@ -95,7 +95,7 @@ def _make_mesh(args, cfg, default_ensemble: int = 1):
 
     if spec == "auto":
         ens, dat = cfg.mesh.axis_sizes(jax.device_count())
-    elif "x" in spec:
+    elif "x" in spec.lower():
         ens, dat = (int(v) for v in spec.lower().split("x"))
     else:
         ens, dat = default_ensemble, int(spec)
@@ -172,9 +172,15 @@ def _load_uncertainty(args, out, n_time: int):
             continue
         unc = np.load(p).squeeze()          # (T,1,H,W) -> (T,H,W)
         if unc.ndim != 3 or unc.shape[0] != n_time:
-            print(f"warning: {p} has shape {unc.shape}, expected "
-                  f"({n_time}, H, W) [chronological unaugmented series] — "
-                  "skipping the uncertainty variable", file=sys.stderr)
+            msg = (f"{p} has shape {unc.shape}, expected ({n_time}, H, W) "
+                   "[chronological unaugmented series]")
+            if explicit:
+                # the user asked for THIS file — failing loud beats
+                # silently shipping the flagship NetCDF without its
+                # uncertainty variable
+                raise ValueError(f"--uncertainty {msg}")
+            print(f"warning: {msg} — skipping the uncertainty variable",
+                  file=sys.stderr)
             return None
         print(f"uncertainty: {p}", file=sys.stderr)
         return unc
@@ -195,10 +201,12 @@ def cmd_infer(args) -> int:
     # reference's exports carry T=181 time axes (test.ipynb cell 3,
     # res_t=181 NetCDF) and the ensemble uncertainty chain assumes the
     # same length. load_data_with_augmentation concatenates the original
-    # series first, so the first n_time samples ARE the originals in
-    # time order.
-    n = min(cfg.data.n_time, data[0][0].shape[0])
+    # series first; the original length is detected from the tiled trend
+    # cube (NOT config.n_time — real ingest takes T from the files).
+    from gan_danet_tpu.data.pipeline import infer_original_length
+
     ([d05, t05], [d25, t25], aux, s05, s025, sa) = data
+    n = infer_original_length(t05, cfg.data.augmentation_factor)
     data = ([d05[:n], t05[:n]], [d25[:n], t25[:n]], aux[:n], s05, s025, sa)
     trainer = ModelTrainer(cfg, data=data, logger=_logger(args),
                            generator=_make_generator(args, cfg))

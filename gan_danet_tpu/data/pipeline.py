@@ -18,6 +18,7 @@ synthetic generator — `load_raw` picks per DataConfig.
 """
 from __future__ import annotations
 
+import functools as _functools
 from typing import List, Tuple
 
 import numpy as np
@@ -54,6 +55,27 @@ def _stl_detrend_np(cube: np.ndarray, period: int, seasonal: int):
     return trend, cube - trend
 
 
+def infer_original_length(trend: np.ndarray, augmentation_factor: int) -> int:
+    """Length of the ORIGINAL chronological series inside a possibly
+    FFT-augmented stack, derived from the DATA rather than config
+    (config.n_time describes the reference dataset, not whatever series a
+    real-data ingest produced — readers take T from the files).
+
+    load_data_with_augmentation TILES the trend cube to the augmented
+    length (reference datasets.py:451-501: trends repeat verbatim), so an
+    augmented stack is detected exactly: n divides by (1+k) and the first
+    two trend tiles are bit-identical (float equality — STL trends of
+    real data never repeat by chance). Anything else is an unaugmented
+    series of length n."""
+    n = trend.shape[0]
+    f = 1 + max(0, int(augmentation_factor))
+    if f > 1 and n % f == 0:
+        t = n // f
+        if t > 0 and np.array_equal(trend[:t], trend[t:2 * t]):
+            return t
+    return n
+
+
 def _scaler_from_stats(mean: float, scale: float) -> StandardScaler:
     s = StandardScaler()
     s.mean_ = np.array([float(mean)])
@@ -71,6 +93,78 @@ def _aug_kernel(n: int, seasonal_freq: int) -> tuple:
     kbins = np.asarray([i % n for i in idxs])[None, :]
     kernel = (np.cos(2.0 * np.pi * t_idx * kbins / n) / n).astype(np.float32)
     return kernel, len(idxs)
+
+
+def _run_device_stages(g05, g25, aux, noise, gh, gw, a_t, kernel,
+                       *, n_gldas: int):
+    """The fused device program behind _device_stages, defined ONCE at
+    module level and jitted with the operators as traced arguments — a
+    per-call `@jax.jit` closure would re-trace and (on remote-compile
+    backends) re-COMPILE the whole program on every preprocessing run."""
+    import jax.numpy as jnp
+
+    t = g05.shape[0]
+
+    def standardise(x):
+        m = jnp.mean(x)
+        s = jnp.std(x)
+        s = jnp.where(s > 0, s, 1.0)
+        return (x - m) / s, m, s
+
+    g05s, m05, s05 = standardise(g05)
+    g25s, m25, s25 = standardise(g25)
+
+    m_aux = jnp.mean(aux, axis=(0, 1, 2))
+    s_aux = jnp.std(aux, axis=(0, 1, 2))
+    s_aux = jnp.where(s_aux > 0, s_aux, 1.0)
+    aux_std = (aux - m_aux) / s_aux
+
+    gl = aux_std[..., :n_gldas]
+    sm = jnp.einsum("ah,thwc->tawc", gh, gl,
+                    preferred_element_type=jnp.float32)
+    sm = jnp.einsum("bw,tawc->tabc", gw, sm,
+                    preferred_element_type=jnp.float32)
+    aux_sm = jnp.concatenate([sm, aux_std[..., n_gldas:]], axis=-1)
+
+    def detrend(cube):
+        flat = cube.reshape(t, -1)
+        trend = jnp.einsum("ts,sp->tp", a_t, flat,
+                           preferred_element_type=jnp.float32).reshape(
+                               cube.shape)
+        return trend, cube - trend
+
+    t05, d05 = detrend(g05s)
+    t25, d25 = detrend(g25s)
+
+    if noise is not None:
+        def augment(d, noise_list):
+            flat = d.reshape(t, -1)
+            copies = [flat + jnp.matmul(
+                kernel, nz, preferred_element_type=jnp.float32)
+                for nz in noise_list]
+            return jnp.concatenate([flat] + copies).reshape(
+                (t * (1 + len(noise_list)),) + d.shape[1:])
+
+        n05, n25, naux = noise
+        d05o, d25o, aux_o = d05, d25, aux_sm
+        d05 = augment(d05o, n05)
+        d25 = augment(d25o, n25)
+        aux_sm = augment(aux_o, naux)
+        t05 = jnp.tile(t05, (1 + len(n05), 1, 1))
+        t25 = jnp.tile(t25, (1 + len(n25), 1, 1))
+
+    return (d05, t05, d25, t25, aux_sm,
+            (m05, s05), (m25, s25), (m_aux, s_aux))
+
+
+@_functools.lru_cache(maxsize=1)
+def _jitted_device_stages():
+    """jit applied lazily (jax is not imported at module load for
+    host-only users) but exactly ONCE per process, so repeat runs hit
+    jax's executable cache (keyed on argument shapes/pytree structure)."""
+    import jax
+
+    return jax.jit(_run_device_stages, static_argnames=("n_gldas",))
 
 
 def _device_stages(grace_05, grace_025, hr_aux, n_gldas: int,
@@ -105,68 +199,16 @@ def _device_stages(grace_05, grace_025, hr_aux, n_gldas: int,
     kernel = (jnp.asarray(_aug_kernel(t, config.augmentation_seasonal_freq)[0])
               if aug_noise is not None else None)
 
-    @jax.jit
-    def run(g05, g25, aux, noise):
-        def standardise(x):
-            m = jnp.mean(x)
-            s = jnp.std(x)
-            s = jnp.where(s > 0, s, 1.0)
-            return (x - m) / s, m, s
-
-        g05s, m05, s05 = standardise(g05)
-        g25s, m25, s25 = standardise(g25)
-
-        m_aux = jnp.mean(aux, axis=(0, 1, 2))
-        s_aux = jnp.std(aux, axis=(0, 1, 2))
-        s_aux = jnp.where(s_aux > 0, s_aux, 1.0)
-        aux_std = (aux - m_aux) / s_aux
-
-        gl = aux_std[..., :n_gldas]
-        sm = jnp.einsum("ah,thwc->tawc", gh, gl,
-                        preferred_element_type=jnp.float32)
-        sm = jnp.einsum("bw,tawc->tabc", gw, sm,
-                        preferred_element_type=jnp.float32)
-        aux_sm = jnp.concatenate([sm, aux_std[..., n_gldas:]], axis=-1)
-
-        def detrend(cube):
-            flat = cube.reshape(t, -1)
-            trend = jnp.einsum("ts,sp->tp", a_t, flat,
-                               preferred_element_type=jnp.float32).reshape(
-                                   cube.shape)
-            return trend, cube - trend
-
-        t05, d05 = detrend(g05s)
-        t25, d25 = detrend(g25s)
-
-        if noise is not None:
-            def augment(d, noise_list):
-                flat = d.reshape(t, -1)
-                copies = [flat + jnp.matmul(
-                    kernel, nz, preferred_element_type=jnp.float32)
-                    for nz in noise_list]
-                return jnp.concatenate([flat] + copies).reshape(
-                    (t * (1 + len(noise_list)),) + d.shape[1:])
-
-            n05, n25, naux = noise
-            d05o, d25o, aux_o = d05, d25, aux_sm
-            d05 = augment(d05o, n05)
-            d25 = augment(d25o, n25)
-            aux_sm = augment(aux_o, naux)
-            t05 = jnp.tile(t05, (1 + len(n05), 1, 1))
-            t25 = jnp.tile(t25, (1 + len(n25), 1, 1))
-
-        return (d05, t05, d25, t25, aux_sm,
-                (m05, s05), (m25, s25), (m_aux, s_aux))
-
     if aug_noise is not None:
         aug_noise = tuple(
             [jnp.asarray(nz.astype(np.float32)) for nz in group]
             for group in aug_noise)
+    run = _jitted_device_stages()
     (d05, t05, d25, t25, aux_sm, st05, st25, st_aux) = run(
         jnp.asarray(grace_05, jnp.float32),
         jnp.asarray(grace_025, jnp.float32),
         jnp.asarray(hr_aux, jnp.float32),
-        aug_noise)
+        aug_noise, gh, gw, a_t, kernel, n_gldas=n_gldas)
 
     scaler05 = _scaler_from_stats(*jax.device_get(st05))
     scaler025 = _scaler_from_stats(*jax.device_get(st25))

@@ -55,13 +55,18 @@ def make_apply_fn(generator, params, batch_stats=None):
     return apply_fn
 
 
-# Per-process compile cache for the scanned prediction programs, keyed
-# on the caller's apply_fn closure (weakly, so trainer teardown frees
-# it) then on the static step configuration. Each predict_* call builds
-# a fresh `step` closure, which would otherwise re-trace — and on a
-# remote-compile backend re-COMPILE — the whole scan per call (measured:
-# a "warm" repeat predict_005 cost the same minutes as the cold one).
-_SCAN_JIT_CACHE: "weakref.WeakKeyDictionary" = None  # initialised below
+# Per-process compile cache for the scanned prediction programs: the
+# per-anchor cache dict lives as an ATTRIBUTE of the caller's apply_fn
+# closure, so the only root is the anchor itself — when the caller drops
+# apply_fn, the {key: jitted} dict (which references apply_fn back
+# through the step closure, a gc-collectable cycle) dies with it. A
+# module-level WeakKeyDictionary would NOT work: its values strongly
+# reference the key via the closure, making entries immortal. Each
+# predict_* call builds a fresh `step` closure, which would otherwise
+# re-trace — and on a remote-compile backend re-COMPILE — the whole scan
+# per call (measured: a "warm" repeat predict_005 cost the same minutes
+# as the cold one).
+_SCAN_CACHE_ATTR = "_gan_danet_scan_cache"
 
 
 def _scan_batches(step, arrs, n: int, batch_size: int,
@@ -83,7 +88,6 @@ def _scan_batches(step, arrs, n: int, batch_size: int,
     the array arguments (stage tag, hist weight, shapes, mesh identity),
     because the first call's `step` closure is the one that stays
     compiled."""
-    global _SCAN_JIT_CACHE
     constraint = None
     if mesh is not None:
         from jax.sharding import NamedSharding, PartitionSpec as P
@@ -92,8 +96,9 @@ def _scan_batches(step, arrs, n: int, batch_size: int,
 
         constraint = NamedSharding(mesh, P(DATA_AXIS))
         rep = NamedSharding(mesh, P())
-        arrs = {k: jax.device_put(np.asarray(v), rep)
-                for k, v in arrs.items()}
+        # device_put on the (possibly already device-resident) arrays is a
+        # device-to-device reshard — no host round-trip
+        arrs = {k: jax.device_put(v, rep) for k, v in arrs.items()}
     nb = -(-n // batch_size)
     idx = jnp.asarray(np.resize(np.arange(n), nb * batch_size)
                       .reshape(nb, batch_size))
@@ -111,15 +116,14 @@ def _scan_batches(step, arrs, n: int, batch_size: int,
 
     runner = run_fn
     if cache is not None:
-        import weakref
-
-        if _SCAN_JIT_CACHE is None:
-            _SCAN_JIT_CACHE = weakref.WeakKeyDictionary()
         anchor, key = cache
-        try:
-            per = _SCAN_JIT_CACHE.setdefault(anchor, {})
-        except TypeError:          # non-weakrefable callable: no caching
-            per = None
+        per = getattr(anchor, _SCAN_CACHE_ATTR, None)
+        if per is None:
+            try:
+                per = {}
+                setattr(anchor, _SCAN_CACHE_ATTR, per)
+            except AttributeError:  # slotted/builtin callable: no caching
+                per = None
         if per is not None:
             if key not in per:
                 per[key] = jax.jit(run_fn)

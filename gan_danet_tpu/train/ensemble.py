@@ -70,11 +70,11 @@ class EnsembleTrainer:
         # Per-path shuffle parity: the reference's deep-ensemble
         # ModelTrainer copy uses DataLoader(train, shuffle=True) where the
         # main notebook's does not (deep_ensemble.ipynb cell 0) — override
-        # `shuffle` with the ensemble-path default. Deviation ledgered in
-        # README: all members share one shuffled order per epoch (the
-        # member scan gathers each batch once), whereas the reference's
-        # per-member DataLoaders draw independent orders from the global
-        # torch seed.
+        # `shuffle` with the ensemble-path default. With the default
+        # per_member_batches=True each member additionally draws its OWN
+        # order per epoch (per-member rngs seeded seed+i, matching the
+        # reference's set_seed(42+i) DataLoaders); False shares one order
+        # across members.
         import dataclasses
 
         tc = config.train

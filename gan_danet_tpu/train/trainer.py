@@ -78,9 +78,16 @@ class ModelTrainer:
 
         n = lr05.shape[0]
         # unsplit arrays (references, not copies): the chronological
-        # original slice feeds ensemble full-dataset prediction
+        # original slice feeds ensemble full-dataset prediction. The
+        # original length is derived from the DATA (tiled-trend
+        # detection), not config.n_time — real-data ingest takes T from
+        # the files, so a config mismatch must not silently mix augmented
+        # samples into "original" slices
+        from gan_danet_tpu.data.pipeline import infer_original_length
+
         self._full_arrays = (lr05, lr025, hr_aux)
-        self.n_original = min(config.data.n_time, n)
+        self.n_original = infer_original_length(
+            np.asarray(self.trend05), config.data.augmentation_factor)
         train_idx, test_idx = train_test_split_indices(
             n, tc.test_fraction, tc.seed)
         self.train_ds = ArrayDataset(lr05[train_idx], lr025[train_idx],

@@ -259,3 +259,62 @@ def test_device_preprocess_matches_host():
     # the reconstruction invariant holds on the device path too
     np.testing.assert_allclose(d25_d[:24] + t25_d[:24],
                                (d25_h + t25_h)[:24], rtol=1e-3, atol=1e-3)
+
+
+def test_infer_original_length():
+    """The chronological-original length is derived from the DATA (the
+    augmented stack tiles the trend cube verbatim), not config.n_time —
+    real-data ingest takes T from the files, so a config mismatch must
+    not mix augmented samples into 'original' slices (round-4 review
+    finding)."""
+    from gan_danet_tpu.data.pipeline import infer_original_length
+
+    rng = np.random.default_rng(3)
+    trend = rng.standard_normal((50, 4, 5)).astype(np.float32)
+    # augmented: tiled x(1+2)
+    tiled = np.tile(trend, (3, 1, 1))
+    assert infer_original_length(tiled, 2) == 50
+    # unaugmented series whose length HAPPENS to divide (1+k): trends are
+    # not tiles of each other -> full length
+    assert infer_original_length(trend[:48], 2) == 48
+    # no augmentation configured
+    assert infer_original_length(tiled, 0) == 150
+    # a T != config-n_time real-data-style series: detection is purely
+    # structural
+    t2 = np.tile(rng.standard_normal((150, 2, 2)).astype(np.float32),
+                 (3, 1, 1))
+    assert infer_original_length(t2, 2) == 150
+
+
+def test_trainer_n_original_data_derived():
+    """ModelTrainer.n_original comes from the tiled-trend detection, so a
+    dataset whose true length differs from config.n_time still slices the
+    chronological originals correctly."""
+    import dataclasses
+
+    from gan_danet_tpu.train.trainer import ModelTrainer
+    from gan_danet_tpu.core.config import (
+        DiscriminatorConfig,
+        ExperimentConfig,
+        GeneratorConfig,
+        LossConfig,
+        TrainConfig,
+    )
+
+    dc = tiny_config(24)
+    raw = make_synthetic_raw(dc, seed=0)
+    data = load_data_with_augmentation(dc, raw=raw)
+    # config CLAIMS n_time=181 (the reference default) but the data is 24
+    dc_wrong = dataclasses.replace(dc, n_time=181)
+    cfg = ExperimentConfig(
+        data=dc_wrong,
+        generator=GeneratorConfig(input_channels=46, num_blocks=2,
+                                  num_layers_per_block=2, growth_rate=8,
+                                  use_pallas_attention=False),
+        discriminator=DiscriminatorConfig(input_hw=dc.grid_025),
+        loss=LossConfig(use_perceptual=False),
+        train=TrainConfig(epochs=1, batch_size=4, dtype="float32"),
+    )
+    trainer = ModelTrainer(cfg, data=data)
+    assert trainer.n_original == 24
+    assert len(trainer.original_dataset()) == 24
