@@ -55,6 +55,15 @@ def _stl_detrend_np(cube: np.ndarray, period: int, seasonal: int):
     return trend, cube - trend
 
 
+def _aug_kernel(n: int, seasonal_freq: int) -> tuple:
+    """Alias of preprocess.aug_cosine_kernel — the ONE source of the
+    augmentation kernel + bin-selection quirk, shared by the host and
+    fused-device paths so they can never drift apart."""
+    from gan_danet_tpu.data.preprocess import aug_cosine_kernel
+
+    return aug_cosine_kernel(n, seasonal_freq)
+
+
 def infer_original_length(trend: np.ndarray, augmentation_factor: int) -> int:
     """Length of the ORIGINAL chronological series inside a possibly
     FFT-augmented stack, derived from the DATA rather than config
@@ -82,17 +91,6 @@ def _scaler_from_stats(mean: float, scale: float) -> StandardScaler:
     sc = float(scale)
     s.scale_ = np.array([sc if sc > 0 else 1.0])
     return s
-
-
-def _aug_kernel(n: int, seasonal_freq: int) -> tuple:
-    """(kernel (n, K) f32, K) for the cosine-form FFT augmentation,
-    reproducing the reference's 0..+seasonal_freq bin quirk exactly
-    (see preprocess.frequency_domain_augmentation)."""
-    idxs = [i for i in range(-seasonal_freq, seasonal_freq + 1) if 0 <= i < n]
-    t_idx = np.arange(n)[:, None]
-    kbins = np.asarray([i % n for i in idxs])[None, :]
-    kernel = (np.cos(2.0 * np.pi * t_idx * kbins / n) / n).astype(np.float32)
-    return kernel, len(idxs)
 
 
 def _run_device_stages(g05, g25, aux, noise, gh, gw, a_t, kernel,

@@ -87,6 +87,23 @@ def smooth_gldas_channels(hr_aux: np.ndarray, n_gldas: int, sigma: float = 3.0) 
     return out
 
 
+def aug_cosine_kernel(n: int, seasonal_freq: int):
+    """((n, K) float32 cosine kernel, K) for the FFT-domain augmentation
+    perturbation — the SINGLE source of the reference's 0..+seasonal_freq
+    bin quirk (datasets.py:318-347 iterates -f..+f but guards 0 <= idx,
+    so only the non-negative bins perturb). Shared by the host path below
+    and the fused device program (data/pipeline.py) so the two can never
+    drift apart."""
+    idxs = [i for i in range(-seasonal_freq, seasonal_freq + 1)
+            if 0 <= i < n]
+    if not idxs:
+        return None, 0
+    t_idx = np.arange(n)[:, None]                       # (n, 1)
+    k = np.asarray([i % n for i in idxs])[None, :]      # (1, K)
+    kernel = (np.cos(2.0 * np.pi * t_idx * k / n) / n).astype(np.float32)
+    return kernel, len(idxs)
+
+
 def frequency_domain_augmentation(
     data: np.ndarray,
     seasonal_freq: int,
@@ -102,26 +119,23 @@ def frequency_domain_augmentation(
     skipped, and we reproduce that exactly."""
     rng = rng or np.random.default_rng()
     n = data.shape[axis]
-    idxs = [i for i in range(-seasonal_freq, seasonal_freq + 1) if 0 <= i < n]
-    if not idxs:
-        return np.array(data, copy=True)
-
-    moved = np.moveaxis(data, axis, 0)          # (n, ...rest)
-    rest_shape = moved.shape[1:]
-    noise = rng.normal(scale=noise_level,
-                       size=(len(idxs), int(np.prod(rest_shape))))
-
     # DFT linearity: real(ifft(fft(x) + sparse)) == x + real(ifft(sparse)),
     # and for REAL per-bin noise real(ifft) reduces to a cosine kernel —
     # one (n, K) @ (K, rest) matmul instead of a full complex FFT
     # roundtrip over the cube (which is ~20 GB of complex128 at the
     # reference aux size).
-    t_idx = np.arange(n)[:, None]                       # (n, 1)
-    k = np.asarray([i % n for i in idxs])[None, :]      # (1, K)
-    kernel = np.cos(2.0 * np.pi * t_idx * k / n) / n    # (n, K)
+    kernel, n_bins = aug_cosine_kernel(n, seasonal_freq)
+    if n_bins == 0:
+        return np.array(data, copy=True)
+
+    moved = np.moveaxis(data, axis, 0)          # (n, ...rest)
+    rest_shape = moved.shape[1:]
+    noise = rng.normal(scale=noise_level,
+                       size=(n_bins, int(np.prod(rest_shape))))
+
     # f32 matmul/add: f64 is ~17x slower on this host and the noise is
     # O(0.1) — f32 rounding is far below the injected perturbation
-    delta = (kernel.astype(np.float32) @ noise.astype(np.float32))
+    delta = kernel @ noise.astype(np.float32)
     out = moved.astype(np.float32) + delta.reshape((n,) + rest_shape)
     return np.moveaxis(out, 0, axis).astype(data.dtype)
 

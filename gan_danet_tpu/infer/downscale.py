@@ -176,6 +176,9 @@ def predict_025(
     arrs = {"lr05": jnp.asarray(lr05[..., None]),
             "lr025": jnp.asarray(lr025[..., None]),
             "aux": jnp.asarray(hr_aux)}
+    # CACHE CONTRACT: every value `step` closes over (beyond array args
+    # covered by jit retracing) MUST appear in this key — a missing entry
+    # silently serves a stale compiled program
     cache_key = ("s1", float(hist_weight), coarse_hw,
                  None if mesh is None else id(mesh))
     res = _scan_batches(step, arrs, lr05.shape[0], batch_size, mesh=mesh,
@@ -257,6 +260,8 @@ def predict_005(
     # slower over the tunneled chip, VALIDATION.md)
     from gan_danet_tpu.ops.resize import spline_zoom2d
 
+    # CACHE CONTRACT: see predict_025 — every step-closure dependency
+    # must be in the key
     cache_key = ("s2", float(hist_weight), (h005, w005),
                  tuple(blend_region), int(blend_sigma),
                  None if mesh is None else id(mesh))
@@ -269,7 +274,7 @@ def predict_005(
     truth = lr025 + trend25
 
     stats = as_scaler_stats(s025)
-    res_dev = res_dev * stats.scale + stats.mean
+    res_dev = stats.inverse_transform(res_dev)   # jit/device-friendly
     truth = stats.inverse_transform(truth)
 
     res_cm_dev = res_dev * 10.0
@@ -278,10 +283,11 @@ def predict_005(
     res_cm_dev = jnp.where(mask_hi_dev[None] > 0, res_cm_dev, jnp.nan)
     truth = np.where(mask_high[None] > 0, truth, np.nan)
 
+    raw_cm = None
     if export_dir is not None:
         Path(export_dir).mkdir(parents=True, exist_ok=True)
-        exp.write_h5(Path(export_dir) / "raw_downscaled.h5",
-                     np.asarray(res_cm_dev))
+        raw_cm = np.asarray(res_cm_dev)
+        exp.write_h5(Path(export_dir) / "raw_downscaled.h5", raw_cm)
 
     if bias_high is not None:
         # the bias grid is NaN outside the plateau mask; order-3 spline
@@ -290,8 +296,11 @@ def predict_005(
         bias_filled = np.nan_to_num(bias_high, nan=0.0)
         res_cm_dev = res_cm_dev + spline_zoom2d(
             jnp.asarray(bias_filled, jnp.float32), (h005, w005), order=3)
-
-    res_cm = np.asarray(res_cm_dev)
+        res_cm = np.asarray(res_cm_dev)
+    else:
+        # without a bias correction the raw product IS the final cube —
+        # reuse the one pull instead of a second ~300 MB transfer
+        res_cm = raw_cm if raw_cm is not None else np.asarray(res_cm_dev)
     series_pred = np.nanmean(res_cm, axis=(1, 2))
     series_truth = np.nanmean(truth, axis=(1, 2))
     r = _pearson(series_pred, series_truth)
