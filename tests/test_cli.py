@@ -161,3 +161,31 @@ def test_cli_diffusion(tiny_cfg, tmp_path, capsys):
     out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert np.isfinite(out["final_loss"])
     assert (tmp_path / "diff" / "diffusion_sample.npy").exists()
+
+
+def test_make_mesh_spec_parsing():
+    """--mesh accepts 'auto' (sized from cfg.mesh x devices), 'ExD' in
+    either case, and a bare data-parallel width."""
+    import argparse
+
+    import jax
+
+    from gan_danet_tpu.cli import _make_mesh
+    from gan_danet_tpu.core.config import ExperimentConfig
+
+    if len(jax.devices()) < 8:
+        import pytest
+
+        pytest.skip("needs the virtual multi-device mesh")
+    cfg = ExperimentConfig()
+    ns = lambda spec: argparse.Namespace(mesh=spec)  # noqa: E731
+
+    assert _make_mesh(ns(None), cfg) is None
+    m = _make_mesh(ns("2x4"), cfg)
+    assert m.devices.shape == (2, 4)
+    m = _make_mesh(ns("2X4"), cfg)          # uppercase separator
+    assert m.devices.shape == (2, 4)
+    m = _make_mesh(ns("8"), cfg)
+    assert m.devices.shape == (1, 8)
+    m = _make_mesh(ns("auto"), cfg)         # cfg.mesh: ensemble=1, data=-1
+    assert m.devices.shape == (1, 8)
