@@ -166,7 +166,8 @@ def _jitted_device_stages():
 
 
 def _device_stages(grace_05, grace_025, hr_aux, n_gldas: int,
-                   config: DataConfig, aug_noise=None):
+                   config: DataConfig, aug_noise=None,
+                   to_host: bool = True):
     """Stages 3-5(+6) of load_data as ONE jit-compiled device program
     (BASELINE.json north-star: a "jit-compiled device-resident
     preprocessing stage"): standardise both GRACE cubes and every aux
@@ -213,6 +214,14 @@ def _device_stages(grace_05, grace_025, hr_aux, n_gldas: int,
     m_aux, s_aux = (np.asarray(v) for v in jax.device_get(st_aux))
     aux_scalers = [_scaler_from_stats(m_aux[i], s_aux[i])
                    for i in range(len(m_aux))]
+    if not to_host:
+        # device-resident handoff: the cubes stay in HBM as jax arrays —
+        # ModelTrainer/EnsembleTrainer consume them directly
+        # (dataset_to_device's jnp.asarray is then a no-op), so the
+        # preprocess -> train flow never round-trips ~GBs through host.
+        # Host materialisation is only needed for the npz cache contract.
+        return ([d05, t05], [d25, t25], aux_sm,
+                scaler05, scaler025, aux_scalers)
     return ([np.asarray(d05), np.asarray(t05)],
             [np.asarray(d25), np.asarray(t25)],
             np.asarray(aux_sm), scaler05, scaler025, aux_scalers)
@@ -260,16 +269,22 @@ def _assemble_aux(config: DataConfig, raw: RawArrays) -> np.ndarray:
     )
 
 
-def load_data(config: DataConfig, raw: RawArrays | None = None):
+def load_data(config: DataConfig, raw: RawArrays | None = None,
+              to_host: bool = True):
     """Returns ([detrended05, trend05], [detrended25, trend25],
     smoothed_hr_aux, scaler05, scaler025, aux_scalers) — the exact tuple
-    shape of reference datasets.py:444."""
+    shape of reference datasets.py:444.
+
+    to_host=False (device_preprocess only) keeps the cubes in HBM as jax
+    arrays for a zero-round-trip handoff into the trainers."""
+    if not to_host and not config.device_preprocess:
+        raise ValueError("to_host=False requires device_preprocess=True")
     raw = raw if raw is not None else load_raw(config)
     hr_aux = _assemble_aux(config, raw)
 
     if config.device_preprocess:
         return _device_stages(raw.grace_05, raw.grace_025, hr_aux,
-                              raw.gldas.shape[-1], config)
+                              raw.gldas.shape[-1], config, to_host=to_host)
 
     scaler05 = StandardScaler()
     scaler025 = StandardScaler()
@@ -297,7 +312,8 @@ def load_data(config: DataConfig, raw: RawArrays | None = None):
 
 
 def load_data_with_augmentation(config: DataConfig, raw: RawArrays | None = None,
-                                rng: np.random.Generator | None = None):
+                                rng: np.random.Generator | None = None,
+                                to_host: bool = True):
     """x`augmentation_factor` FFT-domain copies concatenated along time,
     trends tiled to match (reference datasets.py:451-501).
 
@@ -305,7 +321,11 @@ def load_data_with_augmentation(config: DataConfig, raw: RawArrays | None = None
     program as standardise/smooth/detrend (_device_stages): noise is
     drawn on host in the EXACT rng order of the host path (so both
     pipelines consume identical randomness and agree to f32 tolerance),
-    everything else runs on the accelerator with one upload/download."""
+    everything else runs on the accelerator with one upload/download —
+    or NO download with to_host=False (the trainers consume jax arrays
+    directly; only the npz cache contract needs host arrays)."""
+    if not to_host and not config.device_preprocess:
+        raise ValueError("to_host=False requires device_preprocess=True")
     rng = rng or np.random.default_rng(config.synthetic_seed)
     k = config.augmentation_factor
     f = config.augmentation_seasonal_freq
@@ -326,7 +346,8 @@ def load_data_with_augmentation(config: DataConfig, raw: RawArrays | None = None
         noise = (draws(raw.grace_05.shape), draws(raw.grace_025.shape),
                  draws(hr_aux.shape))
         return _device_stages(raw.grace_05, raw.grace_025, hr_aux,
-                              raw.gldas.shape[-1], config, aug_noise=noise)
+                              raw.gldas.shape[-1], config, aug_noise=noise,
+                              to_host=to_host)
 
     ([d05, t05], [d25, t25], aux, s05, s025, s_aux) = load_data(config, raw)
 

@@ -37,7 +37,10 @@ def dataset_to_device(ds: ArrayDataset, mesh=None) -> Dict[str, jnp.ndarray]:
     from jax.sharding import NamedSharding, PartitionSpec as P
 
     rep = NamedSharding(mesh, P())
-    return {k: jax.device_put(np.asarray(v), rep) for k, v in arrs.items()}
+    # device_put handles host numpy AND already-device-resident jax
+    # arrays (device-to-device reshard — no host round-trip for the
+    # to_host=False preprocessing handoff)
+    return {k: jax.device_put(v, rep) for k, v in arrs.items()}
 
 
 def batch_index_matrix(order: np.ndarray, batch_size: int) -> np.ndarray:

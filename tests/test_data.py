@@ -318,3 +318,48 @@ def test_trainer_n_original_data_derived():
     trainer = ModelTrainer(cfg, data=data)
     assert trainer.n_original == 24
     assert len(trainer.original_dataset()) == 24
+
+
+def test_device_preprocess_to_host_false_trains():
+    """to_host=False hands device-resident jax arrays straight to
+    ModelTrainer (zero preprocess->train round trip); training losses
+    match the host-array path bit-for-bit (same underlying values)."""
+    import dataclasses
+
+    import jax.numpy as jnp
+
+    from gan_danet_tpu.core.config import (
+        DiscriminatorConfig,
+        ExperimentConfig,
+        GeneratorConfig,
+        LossConfig,
+        TrainConfig,
+    )
+    from gan_danet_tpu.train.trainer import ModelTrainer
+
+    dc = dataclasses.replace(tiny_config(24), device_preprocess=True)
+    raw = make_synthetic_raw(dc, seed=0)
+    data_dev = load_data_with_augmentation(dc, raw=raw, to_host=False)
+    assert isinstance(data_dev[0][0], jnp.ndarray)
+    data_host = load_data_with_augmentation(dc, raw=raw)
+    assert isinstance(data_host[0][0], np.ndarray)
+
+    cfg = ExperimentConfig(
+        data=dc,
+        generator=GeneratorConfig(input_channels=46, num_blocks=2,
+                                  num_layers_per_block=2, growth_rate=8,
+                                  use_pallas_attention=False),
+        discriminator=DiscriminatorConfig(input_hw=dc.grid_025),
+        loss=LossConfig(use_perceptual=False),
+        train=TrainConfig(epochs=1, batch_size=4, dtype="float32"),
+    )
+    t_dev = ModelTrainer(cfg, data=data_dev)
+    t_host = ModelTrainer(cfg, data=data_host)
+    lg_d, _ = t_dev.train()
+    lg_h, _ = t_host.train()
+    np.testing.assert_array_equal(lg_d, lg_h)
+
+    # host path without device_preprocess rejects the device handoff
+    dc_host = dataclasses.replace(dc, device_preprocess=False)
+    with np.testing.assert_raises(ValueError):
+        load_data_with_augmentation(dc_host, raw=raw, to_host=False)
