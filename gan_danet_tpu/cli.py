@@ -93,12 +93,23 @@ def _make_mesh(args, cfg, default_ensemble: int = 1):
 
     from gan_danet_tpu.core.meshes import make_mesh
 
-    if spec == "auto":
-        ens, dat = cfg.mesh.axis_sizes(jax.device_count())
-    elif "x" in spec.lower():
-        ens, dat = (int(v) for v in spec.lower().split("x"))
-    else:
-        ens, dat = default_ensemble, int(spec)
+    spec = spec.strip().lower()
+    try:
+        if spec == "auto":
+            ens, dat = cfg.mesh.axis_sizes(jax.device_count())
+        elif "x" in spec:
+            parts = spec.split("x")
+            if len(parts) != 2 or not all(p.strip().isdigit() for p in parts):
+                raise ValueError
+            ens, dat = (int(p) for p in parts)
+        else:
+            if not spec.isdigit():
+                raise ValueError
+            ens, dat = default_ensemble, int(spec)
+    except ValueError:
+        raise SystemExit(
+            f"error: --mesh {spec!r} is not 'auto', 'ExD' (e.g. '2x4'), "
+            "or a data-parallel width (e.g. '8')")
     return make_mesh(n_ensemble=ens, n_data=dat)
 
 
@@ -153,7 +164,7 @@ def _load_mask(cfg, args):
     return np.ones(cfg.data.grid_025, np.float32)
 
 
-def _load_uncertainty(args, out, n_time: int):
+def _load_uncertainty(args, out, n_time: int, grid_025=None):
     """Resolve the deep-ensemble per-pixel uncertainty for the 0.05deg
     NetCDF (reference test.ipynb:613: np.load('ensemble_uncertainty.npy')
     .squeeze() -> zoom x5 -> `uncertainty` variable). Order of preference:
@@ -171,9 +182,15 @@ def _load_uncertainty(args, out, n_time: int):
         if not p.exists():
             continue
         unc = np.load(p).squeeze()          # (T,1,H,W) -> (T,H,W)
-        if unc.ndim != 3 or unc.shape[0] != n_time:
-            msg = (f"{p} has shape {unc.shape}, expected ({n_time}, H, W) "
-                   "[chronological unaugmented series]")
+        expect = ((n_time, *grid_025) if grid_025 is not None
+                  else (n_time, "H", "W"))
+        # validate the SPATIAL grid too: a wrong-resolution file (e.g. a
+        # 0.5deg (181,44,90) artifact) would otherwise be silently zoomed
+        # by the wrong factor into the flagship NetCDF
+        bad_grid = grid_025 is not None and unc.shape[1:] != tuple(grid_025)
+        if unc.ndim != 3 or unc.shape[0] != n_time or bad_grid:
+            msg = (f"{p} has shape {unc.shape}, expected {expect} "
+                   "[chronological unaugmented series on the 0.25deg grid]")
             if explicit:
                 # the user asked for THIS file — failing loud beats
                 # silently shipping the flagship NetCDF without its
@@ -229,7 +246,8 @@ def cmd_infer(args) -> int:
               "that fits HBM and ~25% overlap — see infer/tiling.py for "
               "the measured error band", file=sys.stderr)
         fn2 = tiled_apply_fn(fn, (th, tw), overlap=args.tile_overlap)
-    unc = _load_uncertainty(args, out, data[1][0].shape[0])
+    unc = _load_uncertainty(args, out, data[1][0].shape[0],
+                            grid_025=tuple(cfg.data.grid_025))
     s2 = predict_005(fn2, data, mask,
                      bias_high=s1.bias_high, stage1_series=s1.series_pred,
                      uncertainty=unc, export_dir=out, mesh=mesh)

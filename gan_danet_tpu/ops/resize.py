@@ -132,7 +132,12 @@ def spline_zoom_matrix(n_in: int, n_out: int, order: int = 3) -> np.ndarray:
         return np.eye(n_in, dtype=np.float32)
     m = _scipy_zoom(np.eye(n_in, dtype=np.float64), (1.0, n_out / n_in),
                     order=order)
-    assert m.shape == (n_in, n_out), (m.shape, n_in, n_out)
+    if m.shape != (n_in, n_out):
+        # scipy's output length is int(round(n_in * zoom)); guard the
+        # contract with a real error (asserts vanish under python -O)
+        raise ValueError(
+            f"spline_zoom_matrix: scipy produced {m.shape}, expected "
+            f"({n_in}, {n_out}) — non-representable zoom factor")
     return np.ascontiguousarray(m.T).astype(np.float32)
 
 

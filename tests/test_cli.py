@@ -189,3 +189,37 @@ def test_make_mesh_spec_parsing():
     assert m.devices.shape == (1, 8)
     m = _make_mesh(ns("auto"), cfg)         # cfg.mesh: ensemble=1, data=-1
     assert m.devices.shape == (1, 8)
+    m = _make_mesh(ns("AUTO"), cfg)         # case-insensitive
+    assert m.devices.shape == (1, 8)
+
+    import pytest
+
+    for bad in ("x4", "2x", "2x4x2", "four", "2.5"):
+        with pytest.raises(SystemExit, match="--mesh"):
+            _make_mesh(ns(bad), cfg)
+
+
+def test_load_uncertainty_rejects_wrong_grid(tmp_path):
+    """A wrong-resolution uncertainty file (e.g. a 0.5deg artifact) must
+    not be silently resampled by the wrong factor into the flagship
+    NetCDF — the spatial grid is validated, not just the time axis."""
+    import argparse
+
+    import pytest
+
+    from gan_danet_tpu.cli import _load_uncertainty
+
+    bad = tmp_path / "ensemble_uncertainty.npy"
+    np.save(bad, np.zeros((24, 50, 40), np.float32))  # 0.5deg-like grid
+    ns = argparse.Namespace(uncertainty=str(bad))
+    with pytest.raises(ValueError, match="expected"):
+        _load_uncertainty(ns, tmp_path, 24, grid_025=(100, 80))
+    # right grid passes
+    good = tmp_path / "good.npy"
+    np.save(good, np.zeros((24, 100, 80), np.float32))
+    ns = argparse.Namespace(uncertainty=str(good))
+    unc = _load_uncertainty(ns, tmp_path, 24, grid_025=(100, 80))
+    assert unc.shape == (24, 100, 80)
+    # auto-detected wrong-grid file: warn and skip, don't crash
+    ns = argparse.Namespace(uncertainty=None)
+    assert _load_uncertainty(ns, tmp_path, 24, grid_025=(100, 80)) is None
