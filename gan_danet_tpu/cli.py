@@ -106,10 +106,15 @@ def _make_mesh(args, cfg, default_ensemble: int = 1):
             if not spec.isdigit():
                 raise ValueError
             ens, dat = default_ensemble, int(spec)
+        # '0x4' passes isdigit() but builds an empty mesh, and a bare '0'
+        # would fall into make_mesh's n_data<=0 use-all-devices branch
+        # instead of erroring — both axes must be positive
+        if ens < 1 or dat < 1:
+            raise ValueError
     except ValueError:
         raise SystemExit(
             f"error: --mesh {spec!r} is not 'auto', 'ExD' (e.g. '2x4'), "
-            "or a data-parallel width (e.g. '8')")
+            "or a data-parallel width (e.g. '8'); axes must be >= 1")
     return make_mesh(n_ensemble=ens, n_data=dat)
 
 
@@ -137,12 +142,24 @@ def cmd_ensemble(args) -> int:
     ens = EnsembleTrainer(cfg, num_ensemble=args.members, logger=_logger(args),
                           mesh=_make_mesh(args, cfg,
                                           default_ensemble=args.members))
-    ens.train_ensemble()
+    out = Path(args.out or "ensemble_out")
+    ckpt_dir = out / "checkpoints"
+    if getattr(args, "resume", None):
+        from gan_danet_tpu.core.checkpoint import latest_checkpoint
+
+        path = (args.resume if args.resume != "auto"
+                else latest_checkpoint(ckpt_dir))
+        if path is None:
+            raise SystemExit(f"--resume: no checkpoints under {ckpt_dir}")
+        ens.restore_checkpoint(path)
+        print(f"resumed from {path}", file=sys.stderr)
+    # checkpoint every epoch: a preempted reference-scale ensemble run
+    # (5 members x 100+ epochs) loses at most one epoch
+    ens.train_ensemble(checkpoint_dir=ckpt_dir, checkpoint_every=1)
     preds = ens.predict_ensemble()
     trues = ens.collect_trues()
     mask = _load_mask(cfg, args)
     results = ens.compute_uncertainty(preds, trues=trues, mask=mask)
-    out = Path(args.out or "ensemble_out")
     ens.save_artifacts(out, results)
     ens.save_members(out / "ensemble_models")
     print(json.dumps({"out_dir": str(out), "members": args.members,
@@ -266,7 +283,8 @@ def cmd_ae(args) -> int:
     mask = _load_mask(cfg, args)
     trainer = AETrainer(hr_aux, lr025, s025, mask=mask,
                         epochs=args.epochs or 10,
-                        batch_size=args.batch_size or 8)
+                        batch_size=args.batch_size or 8,
+                        mesh=_make_mesh(args, cfg))
     trainer.train()
     metrics = trainer.evaluate(export_path=args.out or "ae_results.h5")
     print(json.dumps(metrics))
@@ -276,7 +294,12 @@ def cmd_ae(args) -> int:
 def cmd_diffusion(args) -> int:
     """Latent-diffusion SR variant (the intent of the reference's
     LFS-stripped Diffusion+Model.ipynb): raster-conditioned DDPM over the
-    0.25deg TWSA field, conditioned on the aux stack."""
+    0.25deg TWSA field, conditioned on the aux stack. Training follows
+    the reference recipe (4.train.ipynb cell 5): shuffled batches,
+    gradient accumulation x4 with global-norm clip 1.0, AdamW(1e-5) —
+    run as scanned device-resident epochs; sampling is the jitted
+    lax.scan CFG loop. Full-state checkpoint per run; --resume continues
+    a previous run's optimizer/accumulation/PRNG state."""
     import jax.numpy as jnp
     import numpy as np
 
@@ -287,7 +310,8 @@ def cmd_diffusion(args) -> int:
     ([_, _], [lr025, _], hr_aux, *_rest) = load_or_build_cache(
         cfg.data, augmented=False)
     h, w = lr025.shape[1:3]
-    dcfg = DiffusionConfig(cond_channels=hr_aux.shape[-1], grad_accum=1,
+    dcfg = DiffusionConfig(cond_channels=hr_aux.shape[-1],
+                           grad_accum=args.grad_accum,
                            num_inference_steps=args.steps)
     # the VAE downsamples 2^(stages-1); the SD-topology UNet downsamples at
     # EVERY level (reference 3.unet.ipynb) — crop the raster so the latent
@@ -299,20 +323,28 @@ def cmd_diffusion(args) -> int:
     cond = hr_aux.astype(np.float32)[:, :h, :w]
     ld = LatentDiffusion(dcfg, sample_image_hw=(h, w),
                          sample_cond_shape=(1, h, w, cond.shape[-1]))
+    out = Path(args.out or "diffusion_out")
+    if getattr(args, "resume", None):
+        from gan_danet_tpu.core.checkpoint import latest_checkpoint
+
+        path = (args.resume if args.resume != "auto"
+                else latest_checkpoint(out / "checkpoints"))
+        if path is None:
+            raise SystemExit(f"--resume: no checkpoints under "
+                             f"{out / 'checkpoints'}")
+        ld.restore_checkpoint(path)
+        print(f"resumed from {path} at step {ld.step}", file=sys.stderr)
     bs = min(args.batch_size or 4, img.shape[0])
-    epochs = args.epochs or 1
-    losses = []
-    for _ in range(epochs):
-        for i in range(0, img.shape[0] - bs + 1, bs):
-            losses.append(ld.train_batch(jnp.asarray(img[i:i + bs]),
-                                         jnp.asarray(cond[i:i + bs])))
+    losses = ld.train_epochs(img, cond, epochs=args.epochs or 1,
+                             batch_size=bs, shuffle=True)
+    ckpt = ld.save_checkpoint(out / "checkpoints")
     sample = ld.generate(jnp.asarray(cond[:1]), image_hw=(h, w),
                          num_inference_steps=args.steps)
-    out = Path(args.out or "diffusion_out")
     out.mkdir(parents=True, exist_ok=True)
     np.save(out / "diffusion_sample.npy", np.asarray(sample))
     print(json.dumps({"out_dir": str(out), "final_loss": losses[-1],
-                      "steps_trained": len(losses)}))
+                      "steps_trained": len(losses), "step": ld.step,
+                      "checkpoint": ckpt}))
     return 0
 
 
@@ -371,6 +403,10 @@ def main(argv=None) -> int:
             p.add_argument("--no-augment", action="store_true")
         if name == "ensemble":
             p.add_argument("--members", type=int, default=5)
+            p.add_argument("--resume", nargs="?", const="auto",
+                           help="resume from a checkpoint path, or from "
+                                "the latest under <out>/checkpoints when "
+                                "given without a value")
         if name in ("train", "ensemble"):
             p.add_argument("--vgg-weights", dest="vgg_weights",
                            help="torch VGG19 .pth for the perceptual loss "
@@ -394,6 +430,14 @@ def main(argv=None) -> int:
         if name == "diffusion":
             p.add_argument("--steps", type=int, default=50,
                            help="DDPM inference steps")
+            p.add_argument("--grad-accum", dest="grad_accum", type=int,
+                           default=4,
+                           help="gradient accumulation window (reference "
+                                "4.train.ipynb: x4)")
+            p.add_argument("--resume", nargs="?", const="auto",
+                           help="resume from a checkpoint path, or from "
+                                "the latest under <out>/checkpoints when "
+                                "given without a value")
         if name == "bench":
             p.add_argument("--detail", action="store_true",
                            help="also measure the non-headline "

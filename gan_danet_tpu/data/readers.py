@@ -103,8 +103,23 @@ def load_raw_from_files(config: DataConfig) -> RawArrays:
     present, else regenerated from the ERA5 NetCDF directory)."""
     proj = Path(config.project_dir)
 
-    grace_05 = np.load(proj / config.qz_rlwe_05).astype(np.float32)
-    grace_025 = np.load(proj / config.qz_rlwe_25).astype(np.float32)
+    def load_grace(name: str) -> np.ndarray:
+        """Precomputed .npy when present; otherwise read a GRACE NetCDF
+        DIRECTORY of the same stem (win.py readdata parity — the
+        reference ran win.py by hand to produce the npys; here the
+        directory branch is wired straight into ingest)."""
+        p = proj / name
+        if p.exists():
+            return np.load(p).astype(np.float32)
+        d = p.with_suffix("")
+        if d.is_dir():
+            arr, _time = read_grace_directory(d)
+            return arr.astype(np.float32)
+        raise FileNotFoundError(
+            f"neither {p} nor a GRACE NetCDF directory {d} exists")
+
+    grace_05 = load_grace(config.qz_rlwe_05)
+    grace_025 = load_grace(config.qz_rlwe_25)
     grace_025 = grace_025[: grace_05.shape[0]]
     t = grace_05.shape[0]
 

@@ -69,6 +69,19 @@ def make_apply_fn(generator, params, batch_stats=None):
 _SCAN_CACHE_ATTR = "_gan_danet_scan_cache"
 
 
+def _mesh_key(mesh):
+    """Stable mesh identity for the compile cache: axis names + layout +
+    device ids. `id(mesh)` would be wrong twice over — CPython reuses ids
+    after gc (a NEW mesh allocated at a dead mesh's address would be
+    served the old mesh's compiled program), and two same-shape meshes
+    over the same devices are semantically identical so they SHOULD share
+    one compiled program."""
+    if mesh is None:
+        return None
+    return (mesh.axis_names, mesh.devices.shape,
+            tuple(d.id for d in mesh.devices.flat))
+
+
 def _scan_batches(step, arrs, n: int, batch_size: int,
                   to_host: bool = True, mesh=None, cache=None):
     """Run `step` over the whole (device-resident) series as ONE scanned
@@ -179,8 +192,7 @@ def predict_025(
     # CACHE CONTRACT: every value `step` closes over (beyond array args
     # covered by jit retracing) MUST appear in this key — a missing entry
     # silently serves a stale compiled program
-    cache_key = ("s1", float(hist_weight), coarse_hw,
-                 None if mesh is None else id(mesh))
+    cache_key = ("s1", float(hist_weight), coarse_hw, _mesh_key(mesh))
     res = _scan_batches(step, arrs, lr05.shape[0], batch_size, mesh=mesh,
                         cache=(apply_fn, cache_key))
 
@@ -263,8 +275,7 @@ def predict_005(
     # CACHE CONTRACT: see predict_025 — every step-closure dependency
     # must be in the key
     cache_key = ("s2", float(hist_weight), (h005, w005),
-                 tuple(blend_region), int(blend_sigma),
-                 None if mesh is None else id(mesh))
+                 tuple(blend_region), int(blend_sigma), _mesh_key(mesh))
     res_dev = _scan_batches(step, arrs, lr025.shape[0], batch_size,
                             to_host=False, mesh=mesh,
                             cache=(apply_fn, cache_key))

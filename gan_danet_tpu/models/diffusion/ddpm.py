@@ -53,6 +53,54 @@ class DDPMScheduler:
         self._num_inference_steps = num_inference_steps
         return self.timesteps
 
+    def step_tables(self, num_inference_steps: int):
+        """Per-inference-step coefficient tables for the JITTED sampler.
+
+        The host `step` below recomputes its posterior coefficients with
+        Python/numpy float64 scalars on every call — fine as an oracle,
+        but it forces one compiled dispatch per denoise step plus host
+        scheduler math between steps (the per-step dispatch tax measured
+        at 8-60x wall on remote backends, DESIGN.md §6). Here every
+        t-dependent scalar of Ho et al. (2020) eq. 6-7 is precomputed in
+        float64 over the whole inference schedule and stored as (S,)
+        arrays indexed by step position, so the 50-step CFG loop can run
+        as ONE lax.scan program (pipeline.LatentDiffusion.generate).
+
+        Row i corresponds to timesteps[i] (descending). sigma is 0 at the
+        terminal row (prev_t < 0): the last step is deterministic, exactly
+        like the host oracle."""
+        ts = self.set_timesteps(num_inference_steps)
+        step = self.num_train_timesteps // num_inference_steps
+        prev = ts - step
+        abar_t = self.alphas_cumprod[ts]
+        abar_prev = np.where(prev >= 0,
+                             self.alphas_cumprod[np.maximum(prev, 0)], 1.0)
+        beta_t = 1.0 - abar_t / abar_prev
+        var = beta_t * (1.0 - abar_prev) / (1.0 - abar_t)
+        f32 = lambda a: jnp.asarray(a, jnp.float32)  # noqa: E731
+        return {
+            "t": jnp.asarray(ts.copy(), jnp.int32),
+            "sqrt_abar": f32(np.sqrt(abar_t)),
+            "sqrt_1m_abar": f32(np.sqrt(1.0 - abar_t)),
+            "coef_x0": f32(np.sqrt(abar_prev) * beta_t / (1.0 - abar_t)),
+            "coef_xt": f32(np.sqrt(1.0 - beta_t) * (1.0 - abar_prev)
+                           / (1.0 - abar_t)),
+            "sigma": f32(np.where(prev >= 0,
+                                  np.sqrt(np.maximum(var, 1e-20)), 0.0)),
+        }
+
+    def step_scan(self, model_output: jnp.ndarray, i, sample: jnp.ndarray,
+                  tables, noise: jnp.ndarray) -> jnp.ndarray:
+        """Jittable ancestral step using step_tables, `i` a traced step
+        index. `noise` must be a fresh N(0,1) draw — it is scaled by
+        sigma[i], which is 0 at the terminal step."""
+        x0 = (sample - tables["sqrt_1m_abar"][i] * model_output) \
+            / tables["sqrt_abar"][i]
+        if self.clip_sample:
+            x0 = jnp.clip(x0, -1.0, 1.0)
+        return (tables["coef_x0"][i] * x0 + tables["coef_xt"][i] * sample
+                + tables["sigma"][i] * noise)
+
     def step(
         self,
         model_output: jnp.ndarray,

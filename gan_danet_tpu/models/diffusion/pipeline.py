@@ -1,14 +1,24 @@
 """Latent-diffusion training + sampling pipeline (behavioural parity:
 reference 4.train.ipynb / 5.test.ipynb), generalised to GRACE rasters.
 
-Training (4.train): frozen VAE + condition encoder; UNet predicts the
-noise added to the 0.18215-scaled latents at a random timestep; MSE loss;
-AdamW(1e-5, 0.9/0.999, wd 0.01, eps 1e-8); gradient accumulation (x4 in
-the reference).
+Training (4.train cells 3-5): frozen VAE + condition encoder; UNet
+predicts the noise added to the 0.18215-scaled latents at a random
+timestep; MSE loss; AdamW(1e-5, 0.9/0.999, wd 0.01, eps 1e-8); gradient
+accumulation x4 with global-norm clip 1.0 before each optimizer step
+(cell 5: loss/4, clip_grad_norm_(1.0), step every 4th micro-batch).
 
 Sampling (5.test `generate`): start from N(0,1) latents, 50 DDPM steps
 with classifier-free guidance 7.5 (conditional/unconditional pair), VAE
 decode at /0.18215.
+
+TPU-first: the reference Python-loops both hot paths. Here an epoch of
+training is ONE jitted lax.scan over on-device batch gathers
+(`train_epochs`, the train/loops.py pattern), and the 50-step CFG
+sampling loop is ONE jitted lax.scan over precomputed scheduler
+coefficient tables (`generate`; DDPMScheduler.step_tables) — per-step
+Python dispatch costs 8-60x wall on remote backends (DESIGN.md §6). The
+per-batch `train_batch` and the Python-loop `generate(jit=False)` are
+kept as oracles; tests pin scan == loop.
 
 Conditioning: either text tokens through the CLIP-style encoder (tutorial
 parity) or — the GRACE adapter — a conv patch-encoder over the
@@ -23,6 +33,7 @@ from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 import optax
 from flax import linen as nn
 
@@ -67,6 +78,11 @@ class DiffusionConfig:
     lr: float = 1e-5
     weight_decay: float = 0.01
     grad_accum: int = 4
+    # reference 4.train.ipynb cell 5: clip_grad_norm_(unet.parameters(),
+    # 1.0) on the ACCUMULATED gradient before every optimizer step; 0
+    # disables (torch clips the sum of loss/4 micro-grads == the mean
+    # grad, which is exactly what optax.MultiSteps hands the inner chain)
+    clip_norm: float = 1.0
 
 
 class LatentDiffusion:
@@ -121,13 +137,15 @@ class LatentDiffusion:
 
         tx = optax.adamw(c.lr, b1=0.9, b2=0.999, eps=1e-8,
                          weight_decay=c.weight_decay)
+        if c.clip_norm > 0:
+            tx = optax.chain(optax.clip_by_global_norm(c.clip_norm), tx)
         if c.grad_accum > 1:
             tx = optax.MultiSteps(tx, every_k_schedule=c.grad_accum)
         self.tx = tx
         self.opt_state = tx.init(self.unet_params)
         self._key = k4
+        self.step = 0
 
-        @jax.jit
         def train_step(unet_params, opt_state, image, cond, key):
             knoise, kt, kvae = jax.random.split(key, 3)
             context = self.cond_encoder.apply({"params": self.cond_params},
@@ -150,9 +168,30 @@ class LatentDiffusion:
             updates, opt_state = self.tx.update(grads, opt_state, unet_params)
             return optax.apply_updates(unet_params, updates), opt_state, loss
 
-        self._train_step = train_step
+        self._train_step_core = train_step
+        self._train_step = jax.jit(train_step)
 
-        @jax.jit
+        # whole-epoch scan (train/loops.py pattern): the dataset lives in
+        # HBM, batches are index-gathers, the optimizer step (incl. the
+        # MultiSteps accumulation counter) is carried through the scan —
+        # one compiled program per epoch instead of n_batches dispatches
+        def epoch_fn(unet_params, opt_state, images, conds, idx, key):
+            def body(carry, ids):
+                p, o, key = carry
+                key, k = jax.random.split(key)
+                img = jnp.take(images, ids, axis=0)
+                cnd = jnp.take(conds, ids, axis=0)
+                p, o, loss = train_step(p, o, img, cnd, k)
+                return (p, o, key), loss
+
+            (p, o, key), losses = jax.lax.scan(
+                body, (unet_params, opt_state, key), idx)
+            return p, o, key, losses
+
+        # donate params + opt state: buffers are reused across epochs
+        # instead of copied (train_epochs reassigns both from the return)
+        self._epoch_fn = jax.jit(epoch_fn, donate_argnums=(0, 1))
+
         def denoise_pair(unet_params, z, context, context_uncond, t):
             both_z = jnp.concatenate([z, z])
             both_ctx = jnp.concatenate([context_uncond, context])
@@ -162,7 +201,28 @@ class LatentDiffusion:
             uncond, cond = jnp.split(out, 2)
             return uncond + c.guidance_scale * (cond - uncond)
 
-        self._denoise_pair = denoise_pair
+        self._denoise_pair = jax.jit(denoise_pair)
+
+        # the whole CFG sampling loop as ONE program: lax.scan over the
+        # precomputed coefficient tables (DDPMScheduler.step_tables); the
+        # key schedule mirrors the Python oracle exactly (split per step,
+        # normal drawn per step, sigma=0 makes the terminal step
+        # deterministic), so scan == loop to f32 table rounding
+        def sample_fn(unet_params, z, context, context_u, tables, key):
+            def body(carry, i):
+                z, key = carry
+                t_arr = jnp.full((z.shape[0],), tables["t"][i], jnp.int32)
+                eps = denoise_pair(unet_params, z, context, context_u, t_arr)
+                key, kstep = jax.random.split(key)
+                noise = jax.random.normal(kstep, z.shape, z.dtype)
+                z = self.scheduler.step_scan(eps, i, z, tables, noise)
+                return (z, key), None
+
+            (z, _), _ = jax.lax.scan(body, (z, key),
+                                     jnp.arange(tables["t"].shape[0]))
+            return z
+
+        self._sample_fn = jax.jit(sample_fn)
         self._decode = jax.jit(
             lambda z: self.vae.apply({"params": self.vae_params},
                                      z / self.vae.scaling_factor,
@@ -170,10 +230,78 @@ class LatentDiffusion:
 
     # ------------------------------------------------------------------
     def train_batch(self, image: jnp.ndarray, cond: jnp.ndarray) -> float:
+        """One micro-batch (oracle path — one dispatch per batch; use
+        train_epochs for the scanned device-resident loop)."""
         self._key, k = jax.random.split(self._key)
         self.unet_params, self.opt_state, loss = self._train_step(
             self.unet_params, self.opt_state, image, cond, k)
+        self.step += 1
         return float(loss)
+
+    # ------------------------------------------------------------------
+    def train_epochs(
+        self,
+        image: jnp.ndarray,            # (N, H, W, C_img)
+        cond: jnp.ndarray,             # (N, H, W, C_cond) or (N, 77) tokens
+        epochs: int = 1,
+        batch_size: int = 1,
+        shuffle: bool = True,
+        shuffle_seed: int = 0,
+    ) -> list:
+        """Device-resident training: the dataset moves to HBM once and
+        each epoch compiles to ONE lax.scan program over shuffled batch
+        gathers (reference 4.train.ipynb cell 5 Python-loops epochs x
+        batches with a shuffle=True DataLoader). Remainder samples that
+        don't fill a batch are dropped, like the oracle loop in
+        cli.cmd_diffusion and the reference's accumulation window.
+        Returns per-micro-batch losses (epochs * n_batches floats)."""
+        n = int(image.shape[0])
+        bs = int(batch_size)
+        n_batches = n // bs
+        if n_batches == 0:
+            raise ValueError(f"batch_size {bs} exceeds dataset size {n}")
+        images = jnp.asarray(image)
+        conds = jnp.asarray(cond)
+        rng = np.random.default_rng(shuffle_seed)
+        losses = []
+        for _ in range(int(epochs)):
+            order = rng.permutation(n) if shuffle else np.arange(n)
+            idx = jnp.asarray(order[: n_batches * bs].reshape(n_batches, bs)
+                              .astype(np.int32))
+            self.unet_params, self.opt_state, self._key, ls = self._epoch_fn(
+                self.unet_params, self.opt_state, images, conds, idx,
+                self._key)
+            self.step += n_batches
+            losses.extend(float(x) for x in np.asarray(ls))
+        return losses
+
+    # ------------------------------------------------------------------
+    def save_checkpoint(self, directory) -> str:
+        """Full-state orbax checkpoint (UNet params, optimizer state incl.
+        the MultiSteps accumulation counters, PRNG key, step) — the same
+        real-resume contract as ModelTrainer (the reference's diffusion
+        notebook saves weights-only at the END of 400 epochs,
+        4.train.ipynb cell 5/6)."""
+        from gan_danet_tpu.core.checkpoint import save_train_state
+
+        return save_train_state(directory, self._train_state(),
+                                step=self.step)
+
+    def restore_checkpoint(self, path) -> None:
+        from gan_danet_tpu.core.checkpoint import restore_train_state
+
+        state = restore_train_state(path, self._train_state())
+        as_dev = jax.tree.map(jnp.asarray, state)
+        self.unet_params = as_dev["unet_params"]
+        self.opt_state = as_dev["opt_state"]
+        self._key = as_dev["key"]
+        self.step = int(state["step"])
+
+    def _train_state(self):
+        return {"unet_params": self.unet_params,
+                "opt_state": self.opt_state,
+                "key": self._key,
+                "step": np.int64(self.step)}
 
     # ------------------------------------------------------------------
     def generate(
@@ -183,9 +311,16 @@ class LatentDiffusion:
         image_hw: Optional[Tuple[int, int]] = None,
         num_inference_steps: Optional[int] = None,
         key: Optional[jax.Array] = None,
+        jit: bool = True,
     ) -> jnp.ndarray:
-        """CFG sampling (reference 5.test `generate`): 50 sequential UNet
-        denoise steps, conditional/unconditional pair, VAE decode."""
+        """CFG sampling (reference 5.test `generate`): 50 UNet denoise
+        steps, conditional/unconditional pair, VAE decode.
+
+        jit=True (default) runs the whole loop as ONE compiled lax.scan
+        over precomputed coefficient tables; jit=False is the per-step
+        Python oracle (one dispatch + host scheduler math per step) kept
+        for parity testing — both consume the identical key schedule, so
+        they agree to f32 table rounding (tests/test_diffusion.py)."""
         c = self.config
         key = key if key is not None else jax.random.PRNGKey(0)
         b = cond.shape[0]
@@ -203,6 +338,11 @@ class LatentDiffusion:
                                             uncond)
 
         steps = num_inference_steps or c.num_inference_steps
+        if jit:
+            tables = self.scheduler.step_tables(steps)
+            z = self._sample_fn(self.unet_params, z, context, context_u,
+                                tables, key)
+            return self._decode(z)
         timesteps = self.scheduler.set_timesteps(steps)
         for t in timesteps:
             key, kstep = jax.random.split(key)

@@ -168,7 +168,16 @@ def make_epoch_fn(step_fn: Callable, augment: bool, mesh=None,
                                             idx_batches)
         return state, gs, ds
 
-    return jax.jit(epoch_fn)
+    # donate the input train state: XLA reuses its buffers for the output
+    # state instead of allocating a second full copy per epoch (params +
+    # two Adam moment sets + BN stats — the largest allocation of a
+    # reference-scale epoch). CALLER CONTRACT: the previous epoch's state
+    # arrays are INVALIDATED by the next call — snapshots taken from a
+    # returned state (best-weights tracking) must be jnp.copy'd, not
+    # aliased (trainer.py/ensemble.py do). CPU ignores donation (tests
+    # run there), so only TPU runs exercise the aliasing rule — hence the
+    # explicit copies rather than reliance on test coverage.
+    return jax.jit(epoch_fn, donate_argnums=(0,))
 
 
 def make_scan_predict(eval_step: Callable, mesh=None) -> Callable:

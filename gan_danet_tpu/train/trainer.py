@@ -220,14 +220,20 @@ class ModelTrainer:
             self.logger.log("epoch", epoch=epoch, loss_d=avg_d, loss_g=avg_g)
 
             # early stopping on avg G loss (patience 20, min_delta 0).
-            # Best weights stay ON DEVICE: jax arrays are immutable, so
-            # holding the references is a zero-cost snapshot (device_get
-            # here cost a full param pull per improving epoch)
+            # Best weights stay ON DEVICE as explicit copies: the epoch
+            # program donates its input state (loops.make_epoch_fn), so a
+            # bare reference into self.state would be INVALIDATED by the
+            # next epoch call on TPU. A device-to-device param copy per
+            # improving epoch is far cheaper than the full state copy
+            # per epoch that donation eliminates (device_get here cost a
+            # full param pull per improving epoch)
             if avg_g < best_loss - tc.early_stop_min_delta:
                 best_loss = avg_g
                 trigger = 0
-                self.best_params = self.state.g_params
-                self.best_batch_stats = self.state.g_batch_stats
+                self.best_params = jax.tree.map(jnp.copy,
+                                                self.state.g_params)
+                self.best_batch_stats = jax.tree.map(
+                    jnp.copy, self.state.g_batch_stats)
             else:
                 trigger += 1
                 if trigger >= tc.early_stop_patience:

@@ -91,6 +91,62 @@ def test_ae_trainer_learns(rng):
     assert metrics["cc"] > 0.3
 
 
+def test_ae_scanned_epoch_matches_batch_loop(rng):
+    """The scanned device-resident epoch must reproduce the per-batch
+    oracle loop exactly: same permutation sequence, same batches, so
+    per-epoch losses and final params agree to jit fusion noise
+    (VERDICT r4 task 2)."""
+    from gan_danet_tpu.data.scalers import StandardScaler
+
+    t, h, w = 17, 8, 10          # deliberately not a batch multiple
+    target = rng.standard_normal((t, h, w)).astype(np.float32)
+    aux = rng.standard_normal((t, h, w, 5)).astype(np.float32)
+    scaler = StandardScaler().fit(target)
+    tgt = scaler.transform(target).astype(np.float32)
+
+    a = AETrainer(aux, tgt, scaler, epochs=3, batch_size=5, seed=7)
+    b = AETrainer(aux, tgt, scaler, epochs=3, batch_size=5, seed=7)
+    losses_scan = a.train(scan=True)
+    losses_loop = b.train(scan=False)
+    np.testing.assert_allclose(losses_scan, losses_loop, rtol=1e-5,
+                               atol=1e-7)
+    for x, y in zip(jax.tree.leaves(a.params), jax.tree.leaves(b.params)):
+        np.testing.assert_allclose(np.asarray(x), np.asarray(y), rtol=1e-5,
+                                   atol=1e-7)
+    # scanned predict covers ALL samples incl. the wrap-padded tail
+    pred = a.predict()
+    assert pred.shape == (t, h, w)
+    assert np.isfinite(pred).all()
+
+
+def test_ae_trainer_mesh_matches_single_device(rng):
+    """Data-parallel AE training over the virtual mesh equals the
+    single-device run (MSE mean over the global batch is identical under
+    sharding; allreduce inserted by GSPMD)."""
+    from gan_danet_tpu.core.meshes import make_mesh
+    from gan_danet_tpu.data.scalers import StandardScaler
+
+    if len(jax.devices()) < 4:
+        import pytest
+
+        pytest.skip("needs the virtual multi-device mesh")
+    t, h, w = 16, 8, 10
+    target = rng.standard_normal((t, h, w)).astype(np.float32)
+    aux = rng.standard_normal((t, h, w, 5)).astype(np.float32)
+    scaler = StandardScaler().fit(target)
+    tgt = scaler.transform(target).astype(np.float32)
+
+    base = AETrainer(aux, tgt, scaler, epochs=2, batch_size=8, seed=3)
+    mesh = make_mesh(n_ensemble=1, n_data=4)
+    dp = AETrainer(aux, tgt, scaler, epochs=2, batch_size=8, seed=3,
+                   mesh=mesh)
+    lb = base.train()
+    ld = dp.train()
+    np.testing.assert_allclose(ld, lb, rtol=1e-4, atol=1e-6)
+    np.testing.assert_allclose(dp.predict(), base.predict(), rtol=1e-4,
+                               atol=1e-5)
+
+
 def test_scale_invariant_runs_at_two_resolutions():
     m = ScaleInvariantNetwork()
     x64 = jnp.zeros((1, 64, 64, 1))

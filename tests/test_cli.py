@@ -1,6 +1,7 @@
 """CLI smoke tests: every reference workflow is reachable headlessly
 (the reference's entry points are notebooks — readme.txt:70-100)."""
 import json
+from pathlib import Path
 
 import numpy as np
 import pytest
@@ -161,6 +162,13 @@ def test_cli_diffusion(tiny_cfg, tmp_path, capsys):
     out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert np.isfinite(out["final_loss"])
     assert (tmp_path / "diff" / "diffusion_sample.npy").exists()
+    # full-state checkpoint written; --resume continues the step count
+    assert Path(out["checkpoint"]).exists()
+    assert main(["diffusion", "--config", tiny_cfg, "--epochs", "1",
+                 "--batch-size", "4", "--steps", "2",
+                 "--out", str(tmp_path / "diff"), "--resume"]) == 0
+    out2 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out2["step"] == 2 * out["step"]
 
 
 def test_make_mesh_spec_parsing():
@@ -194,7 +202,9 @@ def test_make_mesh_spec_parsing():
 
     import pytest
 
-    for bad in ("x4", "2x", "2x4x2", "four", "2.5"):
+    # zero axes: '0x4' passes isdigit() but would build an empty mesh, and
+    # a bare '0' would fall into make_mesh's use-all-devices branch
+    for bad in ("x4", "2x", "2x4x2", "four", "2.5", "0x4", "2x0", "0"):
         with pytest.raises(SystemExit, match="--mesh"):
             _make_mesh(ns(bad), cfg)
 

@@ -206,6 +206,135 @@ def test_unet_shape(rng):
     assert unet.apply(v, z, ctx, t).shape == z.shape
 
 
+def test_scheduler_step_tables_match_host_oracle(rng):
+    """step_scan over the precomputed tables == the host float64 `step`
+    oracle, row by row, including the stochastic branch (same normal
+    draw) and the deterministic terminal row (sigma[last] == 0)."""
+    s = DDPMScheduler(1000)
+    tables = s.step_tables(10)
+    np.testing.assert_array_equal(np.asarray(tables["t"]),
+                                  np.arange(900, -1, -100))
+    assert float(tables["sigma"][-1]) == 0.0
+    assert (np.asarray(tables["sigma"][:-1]) > 0).all()
+    xt = jnp.asarray(rng.standard_normal((1, 4, 4, 2)).astype(np.float32))
+    eps = jnp.asarray(rng.standard_normal((1, 4, 4, 2)).astype(np.float32))
+    s.set_timesteps(10)
+    for i, t in enumerate(np.asarray(tables["t"])):
+        key = jax.random.PRNGKey(i)
+        noise = jax.random.normal(key, xt.shape, xt.dtype)
+        got = np.asarray(s.step_scan(eps, i, xt, tables, noise))
+        # the oracle draws its own normal from the SAME key
+        want = np.asarray(s.step(eps, int(t), xt, key=key))
+        np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-5)
+
+
+@pytest.fixture(scope="module")
+def tiny_ld():
+    def make(grad_accum=1, seed=0):
+        cfg = DiffusionConfig(
+            vae_channels=(8, 16), unet_channels=(8, 16), context_dim=16,
+            heads=2, cond_channels=3, grad_accum=grad_accum,
+            num_inference_steps=4)
+        return LatentDiffusion(cfg, sample_image_hw=(16, 16),
+                               sample_cond_shape=(1, 16, 16, 3), seed=seed)
+
+    return make
+
+
+def test_generate_scan_matches_python_loop(tiny_ld, rng):
+    """The jitted lax.scan sampler must reproduce the per-step Python
+    oracle: identical key schedule, f32-table rounding only (VERDICT r4
+    task 1a)."""
+    ld = tiny_ld()
+    cond = jnp.asarray(rng.standard_normal((2, 16, 16, 3)).astype(np.float32))
+    key = jax.random.PRNGKey(11)
+    fast = np.asarray(ld.generate(cond, image_hw=(16, 16),
+                                  num_inference_steps=4, key=key, jit=True))
+    slow = np.asarray(ld.generate(cond, image_hw=(16, 16),
+                                  num_inference_steps=4, key=key, jit=False))
+    assert fast.shape == slow.shape == (2, 16, 16, 1)
+    np.testing.assert_allclose(fast, slow, rtol=1e-3, atol=1e-4)
+
+
+def test_train_epochs_scan_matches_batch_loop(tiny_ld, rng):
+    """One scanned epoch == the same batches through the per-batch oracle
+    loop (same key schedule, same order): losses and post-step params
+    agree to f32 fusion noise (VERDICT r4 task 1b)."""
+    img = rng.standard_normal((8, 16, 16, 1)).astype(np.float32)
+    cond = rng.standard_normal((8, 16, 16, 3)).astype(np.float32)
+
+    ld_a = tiny_ld(grad_accum=2)
+    ld_b = tiny_ld(grad_accum=2)
+    # identical init by construction (same seed)
+    order = np.random.default_rng(5).permutation(8)
+    losses_scan = ld_a.train_epochs(img, cond, epochs=1, batch_size=2,
+                                    shuffle=True, shuffle_seed=5)
+    losses_loop = []
+    for i in range(0, 8, 2):
+        ids = order[i : i + 2]
+        losses_loop.append(ld_b.train_batch(jnp.asarray(img[ids]),
+                                            jnp.asarray(cond[ids])))
+    np.testing.assert_allclose(losses_scan, losses_loop, rtol=1e-5,
+                               atol=1e-6)
+    # param tolerance is the ADAM-STEP scale, not f32 noise: for leaves
+    # whose gradient is noise-dominated (zero-init biases), Adam
+    # normalises the update to O(lr)=1e-5 regardless of gradient
+    # magnitude, so a ~1e-7 fusion difference between the two compiled
+    # programs can flip an entire 1e-5 update. Two applied optimizer
+    # steps (4 micro-batches / accum 2) bound the divergence at ~2e-5.
+    pa = jax.tree.leaves(ld_a.unet_params)
+    pb = jax.tree.leaves(ld_b.unet_params)
+    for a, b in zip(pa, pb):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-3,
+                                   atol=3e-5)
+    assert ld_a.step == ld_b.step == 4
+
+
+def test_grad_accum_applies_every_kth_batch(tiny_ld, rng):
+    """MultiSteps x4 (the reference's accumulation window): params must
+    stay FROZEN for the first 3 micro-batches and move on the 4th."""
+    ld = tiny_ld(grad_accum=4)
+    img = jnp.asarray(rng.standard_normal((2, 16, 16, 1)).astype(np.float32))
+    cond = jnp.asarray(rng.standard_normal((2, 16, 16, 3)).astype(np.float32))
+    p0 = jax.tree.map(np.asarray, ld.unet_params)
+    for i in range(3):
+        ld.train_batch(img, cond)
+        same = all(np.array_equal(a, np.asarray(b)) for a, b in zip(
+            jax.tree.leaves(p0), jax.tree.leaves(ld.unet_params)))
+        assert same, f"params moved during accumulation micro-batch {i}"
+    ld.train_batch(img, cond)
+    moved = any(not np.array_equal(a, np.asarray(b)) for a, b in zip(
+        jax.tree.leaves(p0), jax.tree.leaves(ld.unet_params)))
+    assert moved, "params did not move on the k-th micro-batch"
+
+
+def test_diffusion_checkpoint_resume_equals_uninterrupted(tiny_ld, rng,
+                                                          tmp_path):
+    """Train 2 epochs straight vs train 1 -> checkpoint -> restore into a
+    FRESH pipeline -> train 1 more: identical params (the
+    tests/test_train.py resume pattern; VERDICT r4 task 1b
+    checkpointing)."""
+    img = rng.standard_normal((4, 16, 16, 1)).astype(np.float32)
+    cond = rng.standard_normal((4, 16, 16, 3)).astype(np.float32)
+
+    straight = tiny_ld(grad_accum=2)
+    straight.train_epochs(img, cond, epochs=2, batch_size=2, shuffle=False)
+
+    first = tiny_ld(grad_accum=2)
+    first.train_epochs(img, cond, epochs=1, batch_size=2, shuffle=False)
+    path = first.save_checkpoint(tmp_path / "ckpt")
+
+    resumed = tiny_ld(grad_accum=2)
+    resumed.restore_checkpoint(path)
+    assert resumed.step == first.step
+    resumed.train_epochs(img, cond, epochs=1, batch_size=2, shuffle=False)
+
+    for a, b in zip(jax.tree.leaves(straight.unet_params),
+                    jax.tree.leaves(resumed.unet_params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5,
+                                   atol=1e-7)
+
+
 @pytest.mark.slow
 def test_latent_diffusion_end_to_end(rng):
     cfg = DiffusionConfig(

@@ -287,3 +287,63 @@ def test_ensemble_honors_augment_flag():
     trainer = EnsembleTrainer(cfg, num_ensemble=2, data=data)
     history = trainer.train_ensemble()
     assert history.shape == (1, 2) and np.isfinite(history).all()
+
+
+def test_ensemble_checkpoint_resume_equals_uninterrupted(tmp_path):
+    """Full-state ensemble resume (VERDICT r4 task 3): train 3 epochs
+    straight vs train 1 -> checkpoint -> restore into a FRESH trainer ->
+    train to 3. Final member weights (incl. the best-weights
+    restore-at-end) must be identical — the checkpoint carries the
+    member-stacked GANTrainState, the augmentation key, and the best
+    tracker, and restore fast-forwards the shuffle rngs."""
+    dc = tiny_config(24)
+    raw = make_synthetic_raw(dc, seed=0)
+    data = load_data_with_augmentation(dc, raw=raw)
+
+    def make(epochs):
+        cfg = ExperimentConfig(
+            data=dc,
+            generator=GeneratorConfig(input_channels=46, num_blocks=2,
+                                      num_layers_per_block=2, growth_rate=8,
+                                      use_pallas_attention=False),
+            discriminator=DiscriminatorConfig(input_hw=dc.grid_025),
+            loss=LossConfig(use_perceptual=False),
+            train=TrainConfig(epochs=epochs, batch_size=4, dtype="float32",
+                              augment=True),
+        )
+        return EnsembleTrainer(cfg, num_ensemble=2, data=data)
+
+    straight = make(3)
+    h_straight = straight.train_ensemble()
+
+    # emulate preemption after epoch 0 of the 3-epoch schedule: run ONE
+    # epoch of the FULL schedule (curriculum denominator = 3) by hand —
+    # exactly the state a checkpoint_every=1 CLI run leaves behind
+    import jax.numpy as jnp
+
+    from gan_danet_tpu.train.loops import dataset_to_device
+
+    interrupted = make(3)
+    tc = interrupted.config.train
+    interrupted._dev_train = dataset_to_device(interrupted.base.train_ds)
+    lw = jnp.float32(0 / tc.epochs)
+    interrupted._aug_key, ek = jax.random.split(interrupted._aug_key)
+    idx = jnp.asarray(interrupted._member_epoch_indices())
+    interrupted.state, gs, _ = interrupted._epoch_fn(
+        interrupted.state, interrupted._dev_train, idx, lw, ek)
+    avg = np.asarray(gs.mean(axis=0))
+    interrupted._best_loss = np.minimum(interrupted._best_loss, avg)
+    interrupted._best_params = interrupted.state.g_params
+    interrupted._best_stats = interrupted.state.g_batch_stats
+    path = interrupted.save_checkpoint(tmp_path / "ckpt")
+
+    resumed = make(3)
+    resumed.restore_checkpoint(path)
+    h_resumed = resumed.train_ensemble()     # start_epoch derived = 1
+    assert h_resumed.shape == (2, 2)         # epochs 1 and 2 only
+    np.testing.assert_allclose(h_resumed, h_straight[1:], rtol=1e-5,
+                               atol=1e-6)
+    for a, b in zip(jax.tree.leaves(straight.state.g_params),
+                    jax.tree.leaves(resumed.state.g_params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-6)

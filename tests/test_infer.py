@@ -127,6 +127,53 @@ def test_predict_025_mesh_matches_single_device(trained, tmp_path):
     np.testing.assert_allclose(dp.pred, base.pred, rtol=1e-3, atol=5e-3)
 
 
+def test_scan_cache_mesh_key_is_stable_identity():
+    """The compile-cache key must be the mesh's semantic identity, not
+    id(mesh): CPython reuses ids after gc, so an apply_fn outliving one
+    mesh could be served a stale program compiled for a dead mesh that
+    happened to share the new mesh's address (VERDICT r4 weak #5)."""
+    from gan_danet_tpu.core.meshes import make_mesh
+    from gan_danet_tpu.infer.downscale import _mesh_key
+
+    if len(jax.devices()) < 4:
+        pytest.skip("needs the virtual multi-device mesh")
+    assert _mesh_key(None) is None
+    a = make_mesh(n_ensemble=1, n_data=4)
+    b = make_mesh(n_ensemble=1, n_data=4)
+    # same axes + devices => semantically identical: SHARE the program
+    # (jax may intern identical meshes, but the key must not rely on it)
+    assert _mesh_key(a) == _mesh_key(b)
+    # different shape => different key (a stale hit here would run a
+    # program compiled for the wrong sharding)
+    assert _mesh_key(make_mesh(n_ensemble=1, n_data=2)) != _mesh_key(a)
+    assert _mesh_key(make_mesh(n_ensemble=2, n_data=2)) != _mesh_key(a)
+
+
+def test_predict_025_sequential_meshes_no_stale_program(trained):
+    """One apply_fn used with a 2-wide mesh, then a 4-wide mesh created
+    AFTER the first is dropped (the id-reuse window): both runs must match
+    the single-device result."""
+    import gc
+
+    from gan_danet_tpu.core.meshes import make_mesh
+
+    trainer, data, raw = trained
+    if len(jax.devices()) < 4:
+        pytest.skip("needs the virtual multi-device mesh")
+    fn = trainer.apply_fn()
+    base = predict_025(fn, data, mask_high=raw.mask_high, batch_size=4)
+    mesh = make_mesh(n_ensemble=1, n_data=2)
+    r2 = predict_025(fn, data, mask_high=raw.mask_high, batch_size=4,
+                     mesh=mesh)
+    del mesh
+    gc.collect()
+    mesh4 = make_mesh(n_ensemble=1, n_data=4)
+    r4 = predict_025(fn, data, mask_high=raw.mask_high, batch_size=4,
+                     mesh=mesh4)
+    np.testing.assert_allclose(r2.pred, base.pred, rtol=1e-3, atol=5e-3)
+    np.testing.assert_allclose(r4.pred, base.pred, rtol=1e-3, atol=5e-3)
+
+
 def test_predict_005_mesh_matches_single_device(trained):
     from gan_danet_tpu.core.meshes import make_mesh
 
