@@ -294,47 +294,92 @@ def predict_005(
     res_cm_dev = jnp.where(mask_hi_dev[None] > 0, res_cm_dev, jnp.nan)
     truth = np.where(mask_high[None] > 0, truth, np.nan)
 
-    raw_cm = None
-    if export_dir is not None:
-        Path(export_dir).mkdir(parents=True, exist_ok=True)
-        raw_cm = np.asarray(res_cm_dev)
-        exp.write_h5(Path(export_dir) / "raw_downscaled.h5", raw_cm)
+    # EXPORT-TAIL OVERLAP (round 5; warm stage-2 was 64 s of which ~40 s
+    # was serialized pulls + writes — VALIDATION.md breakdown: each
+    # (181,440,900) pull is ~7 s over the tunnel, each h5/nc write 2-5 s
+    # of host gzip/IO): (1) dispatch ALL remaining device programs
+    # (bias-add, uncertainty zoom+mask, series nanmeans) before the first
+    # blocking pull, so they compute during the transfers; (2) run the
+    # product writes on background threads so host IO overlaps the next
+    # pull (h5py serialises its own calls under a global lock, but writes
+    # still overlap the GIL-releasing device transfers).
+    import threading
 
-    if bias_high is not None:
+    write_errors: list = []
+    writer_threads: list = []
+
+    def _bg(fn, *args):
+        def run():
+            try:
+                fn(*args)
+            except Exception as e:  # propagate after join
+                write_errors.append(e)
+
+        t = threading.Thread(target=run)
+        t.start()
+        writer_threads.append(t)
+
+    bias_applied = bias_high is not None
+    if bias_applied:
         # the bias grid is NaN outside the plateau mask; order-3 spline
         # zoom would propagate NaN across the whole array — zero-fill first
         # (bias correction only matters inside the mask anyway)
         bias_filled = np.nan_to_num(bias_high, nan=0.0)
-        res_cm_dev = res_cm_dev + spline_zoom2d(
+        final_dev = res_cm_dev + spline_zoom2d(
             jnp.asarray(bias_filled, jnp.float32), (h005, w005), order=3)
-        res_cm = np.asarray(res_cm_dev)
     else:
+        final_dev = res_cm_dev
+
+    unc05_dev = None
+    if export_dir is not None and uncertainty is not None:
+        unc05_dev = jnp.where(
+            mask_hi_dev[None] > 0,
+            spline_zoom2d(jnp.asarray(uncertainty, jnp.float32),
+                          (h005, w005), order=0),
+            jnp.nan)
+    # spatial-mean series on DEVICE: a (T,) pull instead of a host nanmean
+    # over the 293 MB cube
+    series_dev = jnp.nanmean(final_dev, axis=(1, 2))
+    unc_series_dev = (jnp.nanmean(unc05_dev, axis=(1, 2))
+                      if unc05_dev is not None else None)
+
+    raw_cm = None
+    if export_dir is not None:
+        Path(export_dir).mkdir(parents=True, exist_ok=True)
+        if bias_applied:
+            raw_cm = np.asarray(res_cm_dev)   # overlaps the final/unc computes
+            _bg(exp.write_h5, Path(export_dir) / "raw_downscaled.h5", raw_cm)
+
+    res_cm = np.asarray(final_dev)
+    if export_dir is not None and not bias_applied:
         # without a bias correction the raw product IS the final cube —
         # reuse the one pull instead of a second ~300 MB transfer
-        res_cm = raw_cm if raw_cm is not None else np.asarray(res_cm_dev)
-    series_pred = np.nanmean(res_cm, axis=(1, 2))
+        raw_cm = res_cm
+        _bg(exp.write_h5, Path(export_dir) / "raw_downscaled.h5", raw_cm)
+
+    series_pred = np.asarray(series_dev)
     series_truth = np.nanmean(truth, axis=(1, 2))
     r = _pearson(series_pred, series_truth)
 
     if export_dir is not None:
         d = Path(export_dir)
-        exp.write_h5(d / "downscaled.h5", res_cm)
-        unc05 = None
-        if uncertainty is not None:
-            unc05_dev = spline_zoom2d(
-                jnp.asarray(uncertainty, jnp.float32), (h005, w005), order=0)
-            unc05 = np.asarray(jnp.where(mask_hi_dev[None] > 0,
-                                         unc05_dev, jnp.nan))
-        exp.export_nc_005(
-            d / "downscaled_grace_tws_data_with_uncertainty_gan_danet.nc",
-            res_cm, uncertainty=unc05)
-        exp.export_nc_025(d / "grace_025.nc", truth * 10.0)
+        _bg(exp.write_h5, d / "downscaled.h5", res_cm)
+        _bg(exp.export_nc_025, d / "grace_025.nc", truth * 10.0)
+        unc05 = np.asarray(unc05_dev) if unc05_dev is not None else None
         exp.write_timeseries_csv(
             d / "timeseries_tp.csv", series_pred, series_truth,
             series_025_pred=stage1_series,
-            unc_005=np.nanmean(unc05, axis=(1, 2)) if unc05 is not None else None,
+            unc_005=(np.asarray(unc_series_dev)
+                     if unc_series_dev is not None else None),
             unc_025=(np.nanmean(uncertainty, axis=(1, 2))
                      if uncertainty is not None else None),
         )
+        exp.export_nc_005(
+            d / "downscaled_grace_tws_data_with_uncertainty_gan_danet.nc",
+            res_cm, uncertainty=unc05)
+        for t in writer_threads:
+            t.join()
+        if write_errors:
+            raise write_errors[0]
 
     return Stage2Result(res_cm, truth, series_pred, series_truth, r)
