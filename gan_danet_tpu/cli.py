@@ -125,7 +125,13 @@ def cmd_train(args) -> int:
     trainer = ModelTrainer(cfg, logger=_logger(args),
                            generator=_make_generator(args, cfg),
                            mesh=_make_mesh(args, cfg))
-    losses_g, losses_d = trainer.train()
+    if getattr(args, "resume", None):
+        path = args.resume if args.resume != "auto" else None
+        trainer.restore_checkpoint(path)   # None -> latest in checkpoint_dir
+        print(f"resumed at step {int(trainer.state.step)}", file=sys.stderr)
+    losses_g, losses_d = trainer.train(
+        checkpoint_dir=cfg.train.checkpoint_dir,
+        checkpoint_every=getattr(args, "checkpoint_every", 0) or 0)
     metrics = trainer.evaluate()
     path = trainer.save_checkpoint()
     print(json.dumps({"checkpoint": path, "epochs_run": len(losses_g),
@@ -153,9 +159,12 @@ def cmd_ensemble(args) -> int:
             raise SystemExit(f"--resume: no checkpoints under {ckpt_dir}")
         ens.restore_checkpoint(path)
         print(f"resumed from {path}", file=sys.stderr)
-    # checkpoint every epoch: a preempted reference-scale ensemble run
-    # (5 members x 100+ epochs) loses at most one epoch
-    ens.train_ensemble(checkpoint_dir=ckpt_dir, checkpoint_every=1)
+    # periodic full-state checkpoints: a preempted reference-scale
+    # ensemble run loses at most --checkpoint-every epochs (default 1;
+    # raise it on tunneled backends where the full-state pull costs more
+    # than an epoch)
+    ens.train_ensemble(checkpoint_dir=ckpt_dir,
+                       checkpoint_every=args.checkpoint_every)
     preds = ens.predict_ensemble()
     trues = ens.collect_trues()
     mask = _load_mask(cfg, args)
@@ -407,6 +416,21 @@ def main(argv=None) -> int:
                            help="resume from a checkpoint path, or from "
                                 "the latest under <out>/checkpoints when "
                                 "given without a value")
+            p.add_argument("--checkpoint-every", dest="checkpoint_every",
+                           type=int, default=1,
+                           help="full-state checkpoint every N epochs "
+                                "(0 disables; raise on tunneled backends "
+                                "where the state pull costs more than an "
+                                "epoch)")
+        if name == "train":
+            p.add_argument("--resume", nargs="?", const="auto",
+                           help="resume from a checkpoint path, or from "
+                                "the latest under train.checkpoint_dir "
+                                "when given without a value")
+            p.add_argument("--checkpoint-every", dest="checkpoint_every",
+                           type=int, default=0,
+                           help="full-state checkpoint every N epochs "
+                                "(default: only at the end)")
         if name in ("train", "ensemble"):
             p.add_argument("--vgg-weights", dest="vgg_weights",
                            help="torch VGG19 .pth for the perceptual loss "

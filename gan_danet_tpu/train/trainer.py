@@ -184,18 +184,30 @@ class ModelTrainer:
         return batch_index_matrix(order, loader.batch_size)
 
     # ------------------------------------------------------------------
-    def train(self, start_epoch: Optional[int] = None):
+    def train(self, start_epoch: Optional[int] = None,
+              checkpoint_dir: Optional[str] = None,
+              checkpoint_every: int = 0):
         """Run the training loop. `start_epoch=None` resumes from the
         checkpointed step count (true mid-run resume — the curriculum
         adversarial weight continues where it left off); pass 0 to force a
         fresh run.
+
+        checkpoint_dir + checkpoint_every=k write a full-state checkpoint
+        every k epochs, so a preempted 150-epoch reference run loses at
+        most k epochs. Pick k against the backend: a full-state save
+        pulls params + both Adam moment sets to host (~seconds over a
+        tunneled chip vs a ~1.2 s epoch), so k=1 suits co-located hosts
+        and k~10 a tunnel.
 
         Resume granularity: `start_epoch = step // steps_per_epoch`, so a
         checkpoint taken MID-epoch resumes at that epoch's start and the
         curriculum weight w = epoch/epochs rounds DOWN one epoch for the
         replayed fraction (the reference has no resume at all —
         SURVEY.md §5; checkpoints here are written at epoch boundaries by
-        the CLI, where this is exact)."""
+        the CLI, where this is exact). The best-weights tracker is NOT in
+        the checkpoint payload (it restarts on resume — the first
+        post-resume epoch re-seeds it; EnsembleTrainer's checkpoint does
+        carry its tracker)."""
         tc = self.config.train
         if start_epoch is None:
             steps_per_epoch = max(1, len(self.train_loader))
@@ -240,6 +252,10 @@ class ModelTrainer:
                     self.logger.log("early_stop", epoch=epoch)
                     self._restore_best()
                     return losses_g, losses_d
+
+            if (checkpoint_dir is not None and checkpoint_every > 0
+                    and (epoch + 1) % checkpoint_every == 0):
+                self.save_checkpoint(checkpoint_dir)
 
         self._restore_best()
         return losses_g, losses_d

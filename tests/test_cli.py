@@ -60,6 +60,32 @@ def test_cli_train_then_infer(tiny_cfg, tmp_path, capsys):
     assert (tmp_path / "inft" / "downscaled.h5").exists()
 
 
+def test_cli_train_resume_continues(tiny_cfg, tmp_path, capsys):
+    """`train --checkpoint-every 1` writes per-epoch full-state
+    checkpoints and `train --resume` continues from the recorded step
+    instead of epoch 0 (round 5: the flagship CLI previously only saved
+    at the very end — a preempted 150-epoch run lost everything)."""
+    import json as _json
+
+    cfg = _json.loads(Path(tiny_cfg).read_text())
+    cfg["train"]["epochs"] = 2
+    two = tmp_path / "cfg2.json"
+    two.write_text(_json.dumps(cfg))
+    assert main(["train", "--config", str(two),
+                 "--checkpoint-every", "1"]) == 0
+    out = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["epochs_run"] == 2
+    ckpts = sorted(Path(cfg["train"]["checkpoint_dir"]).glob("step_*"))
+    assert len(ckpts) >= 2          # per-epoch saves + the final save
+
+    cfg["train"]["epochs"] = 3
+    three = tmp_path / "cfg3.json"
+    three.write_text(_json.dumps(cfg))
+    assert main(["train", "--config", str(three), "--resume"]) == 0
+    out = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["epochs_run"] == 1   # epochs 0-1 done; only epoch 2 runs
+
+
 def test_cli_ensemble(tiny_cfg, tmp_path, capsys):
     """cmd_ensemble produces the reference's full ensemble artifact set
     (deep_ensemble.ipynb main() :530-560 + save_members): the four series/
