@@ -331,7 +331,8 @@ def cmd_diffusion(args) -> int:
     img = lr025[..., None].astype(np.float32)[:, :h, :w]
     cond = hr_aux.astype(np.float32)[:, :h, :w]
     ld = LatentDiffusion(dcfg, sample_image_hw=(h, w),
-                         sample_cond_shape=(1, h, w, cond.shape[-1]))
+                         sample_cond_shape=(1, h, w, cond.shape[-1]),
+                         mesh=_make_mesh(args, cfg))
     out = Path(args.out or "diffusion_out")
     if getattr(args, "resume", None):
         from gan_danet_tpu.core.checkpoint import latest_checkpoint

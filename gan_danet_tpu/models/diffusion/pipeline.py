@@ -92,8 +92,16 @@ class LatentDiffusion:
     def __init__(self, config: DiffusionConfig = DiffusionConfig(),
                  seed: int = 0,
                  sample_image_hw: Tuple[int, int] = (32, 32),
-                 sample_cond_shape: Optional[Tuple[int, ...]] = None):
+                 sample_cond_shape: Optional[Tuple[int, ...]] = None,
+                 mesh=None):
+        """mesh (a core.meshes mesh with a 'data' axis) makes the scanned
+        training epoch data-parallel: the dataset is replicated and every
+        gathered batch is sharding-constrained over 'data', so GSPMD
+        partitions the UNet step with gradient allreduce over ICI — the
+        same contract as ModelTrainer/AETrainer (tests assert mesh ==
+        single-device losses)."""
         self.config = config
+        self.mesh = mesh
         c = config
         # the VAE downsamples 2^(stages-1) and the SD-topology UNet
         # downsamples at EVERY level (reference 3.unet.ipynb), so the
@@ -175,12 +183,23 @@ class LatentDiffusion:
         # HBM, batches are index-gathers, the optimizer step (incl. the
         # MultiSteps accumulation counter) is carried through the scan —
         # one compiled program per epoch instead of n_batches dispatches
+        constraint = None
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            from gan_danet_tpu.core.meshes import DATA_AXIS
+
+            constraint = NamedSharding(mesh, P(DATA_AXIS))
+
         def epoch_fn(unet_params, opt_state, images, conds, idx, key):
             def body(carry, ids):
                 p, o, key = carry
                 key, k = jax.random.split(key)
                 img = jnp.take(images, ids, axis=0)
                 cnd = jnp.take(conds, ids, axis=0)
+                if constraint is not None:
+                    img = jax.lax.with_sharding_constraint(img, constraint)
+                    cnd = jax.lax.with_sharding_constraint(cnd, constraint)
                 p, o, loss = train_step(p, o, img, cnd, k)
                 return (p, o, key), loss
 
@@ -262,6 +281,12 @@ class LatentDiffusion:
             raise ValueError(f"batch_size {bs} exceeds dataset size {n}")
         images = jnp.asarray(image)
         conds = jnp.asarray(cond)
+        if self.mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            rep = NamedSharding(self.mesh, P())
+            images = jax.device_put(images, rep)
+            conds = jax.device_put(conds, rep)
         rng = np.random.default_rng(shuffle_seed)
         losses = []
         for _ in range(int(epochs)):

@@ -308,6 +308,37 @@ def test_grad_accum_applies_every_kth_batch(tiny_ld, rng):
     assert moved, "params did not move on the k-th micro-batch"
 
 
+def test_diffusion_train_mesh_matches_single_device(rng):
+    """Data-parallel diffusion training over the virtual mesh equals the
+    single-device run (MSE mean over the global batch is identical under
+    sharding; gradient allreduce inserted by GSPMD). Param tolerance is
+    the Adam-step scale — see test_train_epochs_scan_matches_batch_loop."""
+    from gan_danet_tpu.core.meshes import make_mesh
+
+    if len(jax.devices()) < 4:
+        pytest.skip("needs the virtual multi-device mesh")
+    img = rng.standard_normal((8, 16, 16, 1)).astype(np.float32)
+    cond = rng.standard_normal((8, 16, 16, 3)).astype(np.float32)
+    cfg = DiffusionConfig(
+        vae_channels=(8, 16), unet_channels=(8, 16), context_dim=16,
+        heads=2, cond_channels=3, grad_accum=2, num_inference_steps=4)
+
+    def make(mesh=None):
+        return LatentDiffusion(cfg, sample_image_hw=(16, 16),
+                               sample_cond_shape=(1, 16, 16, 3), seed=0,
+                               mesh=mesh)
+
+    base = make()
+    dp = make(mesh=make_mesh(n_ensemble=1, n_data=4))
+    lb = base.train_epochs(img, cond, epochs=2, batch_size=4, shuffle=False)
+    ld_ = dp.train_epochs(img, cond, epochs=2, batch_size=4, shuffle=False)
+    np.testing.assert_allclose(ld_, lb, rtol=1e-4, atol=1e-5)
+    for a, b in zip(jax.tree.leaves(dp.unet_params),
+                    jax.tree.leaves(base.unet_params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-3,
+                                   atol=3e-5)
+
+
 def test_diffusion_checkpoint_resume_equals_uninterrupted(tiny_ld, rng,
                                                           tmp_path):
     """Train 2 epochs straight vs train 1 -> checkpoint -> restore into a
