@@ -116,16 +116,19 @@ def build_tree(root: Path, seed: int = 0) -> None:
 
 def run_stages(root: Path, out: Path) -> dict:
     env = dict(os.environ)
+    # run from an isolated cwd (so ./checkpoints lands under root, not in
+    # the repo) with the repo PREPENDED to the import path — never
+    # overwrite PYTHONPATH wholesale: platform plugins (e.g. the TPU
+    # backend's site dir) ride on it
+    prev_pp = os.environ.get("PYTHONPATH")
     env.update({
         "PROJECT_DIR": str(root / "project"),
         "DATA_DIR": str(root / "data"),
         "ERA5_SUBDIR": "ERA5/11",
         "CACHE_DIR": str(root / "cache"),
         "REBUILD_CACHE": "0",
-        # run from an isolated cwd (so ./checkpoints lands under root,
-        # not in the repo) with the repo on the import path
-        "PYTHONPATH": f"{REPO}{os.pathsep}{env_pp}"
-        if (env_pp := os.environ.get("PYTHONPATH")) else str(REPO),
+        "PYTHONPATH": (f"{REPO}{os.pathsep}{prev_pp}" if prev_pp
+                       else str(REPO)),
     })
     cwd = root / "run_cwd"
     cwd.mkdir(parents=True, exist_ok=True)
