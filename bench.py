@@ -330,16 +330,21 @@ def measure_detail() -> dict:
     # jitted 50-step CFG sampler, at the GRACE raster crop
     from gan_danet_tpu.models.diffusion import DiffusionConfig, LatentDiffusion
 
-    ld = LatentDiffusion(DiffusionConfig(cond_channels=N_AUX),
-                         sample_image_hw=(H25, 176),
-                         sample_cond_shape=(1, H25, 176, N_AUX))
     img_ld = jnp.asarray(rng.standard_normal((b, H25, 176, 1)), jnp.float32)
     cond_ld = jnp.asarray(rng.standard_normal((b, H25, 176, N_AUX)),
                           jnp.float32)
-    dt = _timeit(ld._train_step_core, ld.unet_params, ld.opt_state, img_ld,
-                 cond_ld, jax.random.PRNGKey(0), iters=10, chain_idx=0)
-    out["diffusion_train_step"] = {"ms_per_batch": round(dt * 1e3, 2),
-                                   "samples_per_sec": round(b / dt, 1)}
+    for dtype in ("float32", "bfloat16"):
+        ld = LatentDiffusion(DiffusionConfig(cond_channels=N_AUX,
+                                             dtype=dtype),
+                             sample_image_hw=(H25, 176),
+                             sample_cond_shape=(1, H25, 176, N_AUX))
+        dt = _timeit(ld._train_step_core, ld.unet_params, ld.opt_state,
+                     img_ld, cond_ld, jax.random.PRNGKey(0), iters=10,
+                     chain_idx=0)
+        tag = "diffusion_train_step" + ("" if dtype == "float32"
+                                        else "_bf16")
+        out[tag] = {"ms_per_batch": round(dt * 1e3, 2),
+                    "samples_per_sec": round(b / dt, 1)}
     # generate is already ONE compiled 50-step scan + decode: time it
     # end-to-end (two dispatches total, nothing for the host to elide)
     _ = np.asarray(ld.generate(cond_ld[:1], image_hw=(H25, 176)))  # compile

@@ -83,6 +83,16 @@ class DiffusionConfig:
     # disables (torch clips the sum of loss/4 micro-grads == the mean
     # grad, which is exactly what optax.MultiSteps hands the inner chain)
     clip_norm: float = 1.0
+    # compute dtype for the UNet/VAE ('float32' | 'bfloat16'); params,
+    # normalization statistics, softmax logits, the VAE's latent-moment
+    # and reconstruction heads, and the loss all stay float32 — the same
+    # mixed-precision policy as the GAN path. The condition encoders are
+    # tiny and frozen; they stay f32. Default f32 because bf16 measured
+    # NEUTRAL on the v5e train step (96.41 vs 96.52 ms at B=4, 88x176 —
+    # bench.py diffusion_train_step{,_bf16}): XLA already runs f32
+    # matmuls at bf16 single-pass rate and the step is occupancy-bound at
+    # channels 32-64, so f32 precision is free here.
+    dtype: str = "float32"
 
 
 class LatentDiffusion:
@@ -117,9 +127,13 @@ class LatentDiffusion:
                 f"= 2^{len(c.vae_channels) - 1} * 2^{len(c.unet_channels)}); "
                 f"crop to ({h - h % div}, {w - w % div})")
         self.scheduler = DDPMScheduler(c.num_train_timesteps)
-        self.vae = VAE(c.vae_channels, c.latent_channels, c.image_channels)
+        compute_dtype = (jnp.bfloat16 if c.dtype in ("bfloat16", "bf16")
+                         else jnp.float32)
+        self.vae = VAE(c.vae_channels, c.latent_channels, c.image_channels,
+                       dtype=compute_dtype)
         self.unet = UNet(c.latent_channels, c.latent_channels,
-                         c.unet_channels, c.context_dim, c.heads)
+                         c.unet_channels, c.context_dim, c.heads,
+                         dtype=compute_dtype)
         if c.cond_channels is None:
             self.cond_encoder = TextEncoder(c.vocab_size, 77, c.context_dim,
                                             c.heads, layers=2)

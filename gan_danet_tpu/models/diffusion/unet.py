@@ -46,23 +46,24 @@ class ResnetTimeBlock(nn.Module):
 
     out_channels: int
     eps: float = 1e-5
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, temb: jnp.ndarray) -> jnp.ndarray:
         h = nn.GroupNorm(num_groups=min(32, x.shape[-1]), epsilon=self.eps,
-                         name="norm1")(x)
+                         dtype=self.dtype, name="norm1")(x)
         h = nn.silu(h)
         h = nn.Conv(self.out_channels, (3, 3), padding=((1, 1), (1, 1)),
-                    name="conv1")(h)
-        h = h + nn.Dense(self.out_channels, name="time_proj")(
+                    dtype=self.dtype, name="conv1")(h)
+        h = h + nn.Dense(self.out_channels, dtype=self.dtype, name="time_proj")(
             nn.silu(temb))[:, None, None, :]
         h = nn.GroupNorm(num_groups=min(32, self.out_channels),
-                         epsilon=self.eps, name="norm2")(h)
+                         epsilon=self.eps, dtype=self.dtype, name="norm2")(h)
         h = nn.silu(h)
         h = nn.Conv(self.out_channels, (3, 3), padding=((1, 1), (1, 1)),
-                    name="conv2")(h)
+                    dtype=self.dtype, name="conv2")(h)
         if x.shape[-1] != self.out_channels:
-            x = nn.Conv(self.out_channels, (1, 1), name="shortcut")(x)
+            x = nn.Conv(self.out_channels, (1, 1), dtype=self.dtype, name="shortcut")(x)
         return x + h
 
 
@@ -72,15 +73,16 @@ class CrossAttention(nn.Module):
 
     dim: int
     heads: int = 8
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, context: jnp.ndarray) -> jnp.ndarray:
         # x: (B, N, D); context: (B, L, Dc)
         b, n, d = x.shape
         hd = d // self.heads
-        q = nn.Dense(d, use_bias=False, name="q")(x)
-        k = nn.Dense(d, use_bias=False, name="k")(context)
-        v = nn.Dense(d, use_bias=False, name="v")(context)
+        q = nn.Dense(d, use_bias=False, dtype=self.dtype, name="q")(x)
+        k = nn.Dense(d, use_bias=False, dtype=self.dtype, name="k")(context)
+        v = nn.Dense(d, use_bias=False, dtype=self.dtype, name="v")(context)
 
         def split(t):
             return t.reshape(b, -1, self.heads, hd)
@@ -89,7 +91,7 @@ class CrossAttention(nn.Module):
                           preferred_element_type=jnp.float32)
         attn = jax.nn.softmax(attn, axis=-1)
         out = jnp.einsum("bhnm,bmhd->bnhd", attn, split(v)).reshape(b, n, d)
-        return nn.Dense(d, name="out")(out)
+        return nn.Dense(d, dtype=self.dtype, name="out")(out)
 
 
 class GEGLU(nn.Module):
@@ -98,10 +100,11 @@ class GEGLU(nn.Module):
     nn.GELU default)."""
 
     dim_out: int
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
-        y = nn.Dense(self.dim_out * 2, name="proj")(x)
+        y = nn.Dense(self.dim_out * 2, dtype=self.dtype, name="proj")(x)
         a, g = jnp.split(y, 2, axis=-1)
         return a * nn.gelu(g, approximate=False)
 
@@ -113,16 +116,17 @@ class TransformerBlock(nn.Module):
 
     dim: int
     heads: int = 8
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, context: jnp.ndarray) -> jnp.ndarray:
-        y = nn.LayerNorm(epsilon=1e-5, name="ln1")(x)
-        x = x + CrossAttention(self.dim, self.heads, name="self_attn")(y, y)
-        x = x + CrossAttention(self.dim, self.heads, name="cross_attn")(
-            nn.LayerNorm(epsilon=1e-5, name="ln2")(x), context)
-        y = nn.LayerNorm(epsilon=1e-5, name="ln3")(x)
-        y = GEGLU(self.dim * 4, name="geglu")(y)
-        y = nn.Dense(self.dim, name="mlp_out")(y)
+        y = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="ln1")(x)
+        x = x + CrossAttention(self.dim, self.heads, self.dtype, name="self_attn")(y, y)
+        x = x + CrossAttention(self.dim, self.heads, self.dtype, name="cross_attn")(
+            nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="ln2")(x), context)
+        y = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="ln3")(x)
+        y = GEGLU(self.dim * 4, self.dtype, name="geglu")(y)
+        y = nn.Dense(self.dim, dtype=self.dtype, name="mlp_out")(y)
         return x + y
 
 
@@ -133,17 +137,19 @@ class SpatialTransformer(nn.Module):
 
     channels: int
     heads: int = 8
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, context: jnp.ndarray) -> jnp.ndarray:
         b, h, w, c = x.shape
         residual = x
-        y = nn.GroupNorm(num_groups=min(32, c), epsilon=1e-6, name="norm")(x)
-        y = nn.Conv(self.channels, (1, 1), name="proj_in")(y)
+        y = nn.GroupNorm(num_groups=min(32, c), epsilon=1e-6, dtype=self.dtype,
+                         name="norm")(x)
+        y = nn.Conv(self.channels, (1, 1), dtype=self.dtype, name="proj_in")(y)
         y = y.reshape(b, h * w, self.channels)
-        y = TransformerBlock(self.channels, self.heads, name="block")(y, context)
+        y = TransformerBlock(self.channels, self.heads, self.dtype, name="block")(y, context)
         y = y.reshape(b, h, w, self.channels)
-        y = nn.Conv(c, (1, 1), name="proj_out")(y)
+        y = nn.Conv(c, (1, 1), dtype=self.dtype, name="proj_out")(y)
         return y + residual
 
 
@@ -152,13 +158,14 @@ class _UpsampleConv(nn.Module):
     UpBlock.out)."""
 
     channels: int
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         b, h, w, c = x.shape
         x = jax.image.resize(x, (b, 2 * h, 2 * w, c), "nearest")
         return nn.Conv(self.channels, (3, 3), padding=((1, 1), (1, 1)),
-                       name="conv")(x)
+                       dtype=self.dtype, name="conv")(x)
 
 
 class UNet(nn.Module):
@@ -173,6 +180,7 @@ class UNet(nn.Module):
     heads: int = 8
     fourier_dim: Optional[int] = None   # default: channels[0]
     time_dim: Optional[int] = None      # default: 4 * channels[0]
+    dtype: jnp.dtype = jnp.float32      # compute dtype; params stay f32
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, context: jnp.ndarray,
@@ -181,52 +189,52 @@ class UNet(nn.Module):
         td = self.time_dim or 4 * self.channels[0]
         heads = self.heads
         temb = timestep_embedding(t, fd)
-        temb = nn.Dense(td, name="time_fc1")(temb)
+        temb = nn.Dense(td, dtype=self.dtype, name="time_fc1")(temb)
         temb = nn.silu(temb)
-        temb = nn.Dense(td, name="time_fc2")(temb)
+        temb = nn.Dense(td, dtype=self.dtype, name="time_fc2")(temb)
 
         x = nn.Conv(self.channels[0], (3, 3), padding=((1, 1), (1, 1)),
-                    name="conv_in")(x)
+                    dtype=self.dtype, name="conv_in")(x)
         skips = [x]
         # --- down: every DownBlock is (res, tf) x2 + stride-2 conv ---
         for i, ch in enumerate(self.channels):
             for k in range(2):
-                x = ResnetTimeBlock(ch, name=f"down{i}_res{k}")(x, temb)
-                x = SpatialTransformer(ch, heads, name=f"down{i}_tf{k}")(
+                x = ResnetTimeBlock(ch, dtype=self.dtype, name=f"down{i}_res{k}")(x, temb)
+                x = SpatialTransformer(ch, heads, self.dtype, name=f"down{i}_tf{k}")(
                     x, context)
                 skips.append(x)
             x = nn.Conv(ch, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)),
-                        name=f"down{i}_ds")(x)
+                        dtype=self.dtype, name=f"down{i}_ds")(x)
             skips.append(x)
         ch_last = self.channels[-1]
-        x = ResnetTimeBlock(ch_last, name="down_res0")(x, temb)
+        x = ResnetTimeBlock(ch_last, dtype=self.dtype, name="down_res0")(x, temb)
         skips.append(x)
-        x = ResnetTimeBlock(ch_last, name="down_res1")(x, temb)
+        x = ResnetTimeBlock(ch_last, dtype=self.dtype, name="down_res1")(x, temb)
         skips.append(x)
 
         # --- mid ---
-        x = ResnetTimeBlock(ch_last, name="mid_res0")(x, temb)
-        x = SpatialTransformer(ch_last, heads, name="mid_tf")(x, context)
-        x = ResnetTimeBlock(ch_last, name="mid_res1")(x, temb)
+        x = ResnetTimeBlock(ch_last, dtype=self.dtype, name="mid_res0")(x, temb)
+        x = SpatialTransformer(ch_last, heads, self.dtype, name="mid_tf")(x, context)
+        x = ResnetTimeBlock(ch_last, dtype=self.dtype, name="mid_res1")(x, temb)
 
         # --- up: 3 plain resnets at the bottom, then UpBlocks ---
         for j in range(3):
-            x = ResnetTimeBlock(ch_last, name=f"up_res{j}")(
+            x = ResnetTimeBlock(ch_last, dtype=self.dtype, name=f"up_res{j}")(
                 jnp.concatenate([x, skips.pop()], axis=-1), temb)
-        x = _UpsampleConv(ch_last, name="up_in")(x)
+        x = _UpsampleConv(ch_last, self.dtype, name="up_in")(x)
 
         up_out = list(reversed(self.channels))     # UpBlock output widths
         for j, ch in enumerate(up_out):
             for k in range(3):
-                x = ResnetTimeBlock(ch, name=f"up{j}_res{k}")(
+                x = ResnetTimeBlock(ch, dtype=self.dtype, name=f"up{j}_res{k}")(
                     jnp.concatenate([x, skips.pop()], axis=-1), temb)
-                x = SpatialTransformer(ch, heads, name=f"up{j}_tf{k}")(
+                x = SpatialTransformer(ch, heads, self.dtype, name=f"up{j}_tf{k}")(
                     x, context)
             if j != len(up_out) - 1:
-                x = _UpsampleConv(ch, name=f"up{j}_us")(x)
+                x = _UpsampleConv(ch, self.dtype, name=f"up{j}_us")(x)
 
         x = nn.GroupNorm(num_groups=min(32, x.shape[-1]), epsilon=1e-5,
-                         name="norm_out")(x)
+                         dtype=self.dtype, name="norm_out")(x)
         x = nn.silu(x)
         return nn.Conv(self.out_channels, (3, 3), padding=((1, 1), (1, 1)),
-                       name="conv_out")(x)
+                       dtype=self.dtype, name="conv_out")(x)

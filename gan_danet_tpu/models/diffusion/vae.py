@@ -32,21 +32,23 @@ class ResnetBlock(nn.Module):
     x2 with a 1x1 shortcut when widths change."""
 
     out_channels: int
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         h = nn.GroupNorm(num_groups=min(32, x.shape[-1]), epsilon=1e-6,
-                         name="norm1")(x)
+                         dtype=self.dtype, name="norm1")(x)
         h = nn.silu(h)
         h = nn.Conv(self.out_channels, (3, 3), padding=((1, 1), (1, 1)),
-                    name="conv1")(h)
+                    dtype=self.dtype, name="conv1")(h)
         h = nn.GroupNorm(num_groups=min(32, self.out_channels), epsilon=1e-6,
-                         name="norm2")(h)
+                         dtype=self.dtype, name="norm2")(h)
         h = nn.silu(h)
         h = nn.Conv(self.out_channels, (3, 3), padding=((1, 1), (1, 1)),
-                    name="conv2")(h)
+                    dtype=self.dtype, name="conv2")(h)
         if x.shape[-1] != self.out_channels:
-            x = nn.Conv(self.out_channels, (1, 1), name="shortcut")(x)
+            x = nn.Conv(self.out_channels, (1, 1), dtype=self.dtype,
+                        name="shortcut")(x)
         return x + h
 
 
@@ -54,21 +56,25 @@ class SelfAttentionBlock(nn.Module):
     """Reference Atten (2.vae.ipynb cell 1): GN, single-head q/k/v/out
     Linears (with bias), C^-0.5 scaling, residual."""
 
+    dtype: jnp.dtype = jnp.float32
+
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:  # (B,H,W,C)
         b, h, w, c = x.shape
-        y = nn.GroupNorm(num_groups=min(32, c), epsilon=1e-6, name="norm")(x)
+        y = nn.GroupNorm(num_groups=min(32, c), epsilon=1e-6,
+                         dtype=self.dtype, name="norm")(x)
         t = y.reshape(b, h * w, c)
-        q = nn.Dense(c, name="q")(t)
-        k = nn.Dense(c, name="k")(t)
-        v = nn.Dense(c, name="v")(t)
+        q = nn.Dense(c, dtype=self.dtype, name="q")(t)
+        k = nn.Dense(c, dtype=self.dtype, name="k")(t)
+        v = nn.Dense(c, dtype=self.dtype, name="v")(t)
         attn = jax.nn.softmax(
             jnp.einsum("bnc,bmc->bnm", q, k,
                        preferred_element_type=jnp.float32) * (c**-0.5),
             axis=-1)
         out = jnp.einsum("bnm,bmc->bnc", attn, v)
-        out = nn.Dense(c, name="proj")(out).reshape(b, h, w, c)
-        return x + out
+        out = nn.Dense(c, dtype=self.dtype,
+                       name="proj")(out.astype(self.dtype))
+        return x + out.reshape(b, h, w, c)
 
 
 def _pad_downsample(x: jnp.ndarray) -> jnp.ndarray:
@@ -80,57 +86,63 @@ def _pad_downsample(x: jnp.ndarray) -> jnp.ndarray:
 class Encoder(nn.Module):
     channels: Tuple[int, ...] = (64, 128, 256)
     latent_channels: int = 4
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         x = nn.Conv(self.channels[0], (3, 3), padding=((1, 1), (1, 1)),
-                    name="conv_in")(x)
+                    dtype=self.dtype, name="conv_in")(x)
         for i, ch in enumerate(self.channels):
-            x = ResnetBlock(ch, name=f"down{i}_res0")(x)
-            x = ResnetBlock(ch, name=f"down{i}_res1")(x)
+            x = ResnetBlock(ch, self.dtype, name=f"down{i}_res0")(x)
+            x = ResnetBlock(ch, self.dtype, name=f"down{i}_res1")(x)
             if i != len(self.channels) - 1:
                 x = nn.Conv(ch, (3, 3), strides=(2, 2), padding="VALID",
+                            dtype=self.dtype,
                             name=f"down{i}_conv")(_pad_downsample(x))
-        x = ResnetBlock(self.channels[-1], name="mid_res0")(x)
-        x = SelfAttentionBlock(name="mid_attn")(x)
-        x = ResnetBlock(self.channels[-1], name="mid_res1")(x)
+        x = ResnetBlock(self.channels[-1], self.dtype, name="mid_res0")(x)
+        x = SelfAttentionBlock(self.dtype, name="mid_attn")(x)
+        x = ResnetBlock(self.channels[-1], self.dtype, name="mid_res1")(x)
         x = nn.GroupNorm(num_groups=min(32, self.channels[-1]), epsilon=1e-6,
-                         name="norm_out")(x)
+                         dtype=self.dtype, name="norm_out")(x)
         x = nn.silu(x)
-        x = nn.Conv(2 * self.latent_channels, (3, 3),
+        x = nn.Conv(2 * self.latent_channels, (3, 3), dtype=self.dtype,
                     padding=((1, 1), (1, 1)), name="conv_out")(x)
-        # the reference's trailing 1x1 "distribution" conv (quant_conv)
-        return nn.Conv(2 * self.latent_channels, (1, 1), name="quant_conv")(x)
+        # the reference's trailing 1x1 "distribution" conv (quant_conv);
+        # f32 so the latent moments (mean/logvar) leave in full precision
+        return nn.Conv(2 * self.latent_channels, (1, 1),
+                       name="quant_conv")(x.astype(jnp.float32))
 
 
 class Decoder(nn.Module):
     channels: Tuple[int, ...] = (256, 128, 64)
     out_channels: int = 1
     latent_channels: int = 4
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, z: jnp.ndarray) -> jnp.ndarray:
         # the reference's leading 1x1 "distribution" conv (post_quant_conv)
         z = nn.Conv(self.latent_channels, (1, 1), name="post_quant_conv")(z)
         x = nn.Conv(self.channels[0], (3, 3), padding=((1, 1), (1, 1)),
-                    name="conv_in")(z)
-        x = ResnetBlock(self.channels[0], name="mid_res0")(x)
-        x = SelfAttentionBlock(name="mid_attn")(x)
-        x = ResnetBlock(self.channels[0], name="mid_res1")(x)
+                    dtype=self.dtype, name="conv_in")(z)
+        x = ResnetBlock(self.channels[0], self.dtype, name="mid_res0")(x)
+        x = SelfAttentionBlock(self.dtype, name="mid_attn")(x)
+        x = ResnetBlock(self.channels[0], self.dtype, name="mid_res1")(x)
         for i, ch in enumerate(self.channels):
-            x = ResnetBlock(ch, name=f"up{i}_res0")(x)
-            x = ResnetBlock(ch, name=f"up{i}_res1")(x)
-            x = ResnetBlock(ch, name=f"up{i}_res2")(x)
+            x = ResnetBlock(ch, self.dtype, name=f"up{i}_res0")(x)
+            x = ResnetBlock(ch, self.dtype, name=f"up{i}_res1")(x)
+            x = ResnetBlock(ch, self.dtype, name=f"up{i}_res2")(x)
             if i != len(self.channels) - 1:
                 b, h, w, c = x.shape
                 x = jax.image.resize(x, (b, 2 * h, 2 * w, c), "nearest")
                 x = nn.Conv(ch, (3, 3), padding=((1, 1), (1, 1)),
-                            name=f"up{i}_conv")(x)
+                            dtype=self.dtype, name=f"up{i}_conv")(x)
         x = nn.GroupNorm(num_groups=min(32, self.channels[-1]), epsilon=1e-6,
-                         name="norm_out")(x)
+                         dtype=self.dtype, name="norm_out")(x)
         x = nn.silu(x)
+        # f32 output head: reconstructions leave in full precision
         return nn.Conv(self.out_channels, (3, 3), padding=((1, 1), (1, 1)),
-                       name="conv_out")(x)
+                       name="conv_out")(x.astype(jnp.float32))
 
 
 class VAE(nn.Module):
@@ -138,11 +150,14 @@ class VAE(nn.Module):
     latent_channels: int = 4
     out_channels: int = 1
     scaling_factor: float = 0.18215
+    dtype: jnp.dtype = jnp.float32     # compute dtype; params stay f32
 
     def setup(self):
-        self.encoder = Encoder(self.channels, self.latent_channels)
+        self.encoder = Encoder(self.channels, self.latent_channels,
+                               self.dtype)
         self.decoder = Decoder(tuple(reversed(self.channels)),
-                               self.out_channels, self.latent_channels)
+                               self.out_channels, self.latent_channels,
+                               self.dtype)
 
     def encode(self, x: jnp.ndarray):
         """-> (mean, logvar), each (B, H/f, W/f, latent_channels).
