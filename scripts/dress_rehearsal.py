@@ -79,11 +79,15 @@ def _era5_raw_from_target(target: np.ndarray, pad: int = 15) -> np.ndarray:
         np.transpose(x, (2, 0, 1)).astype(np.float32))
 
 
-def build_tree(root: Path, seed: int = 0) -> None:
+def build_tree(root: Path, seed: int = 0, config=None) -> None:
+    """Write the reference-layout raw file tree for `config` (default:
+    full reference scale). Tiny configs work too — the CI test
+    (tests/test_readers.py) locks the ERA5 inversion + GRACE nc-dir
+    round-trip at small grids."""
     from gan_danet_tpu.core.config import DataConfig
     from gan_danet_tpu.data.synthetic import make_synthetic_raw
 
-    cfg = DataConfig()                         # full reference scale
+    cfg = config if config is not None else DataConfig()
     raw = make_synthetic_raw(cfg, seed)
     proj = root / "project"
     data_dir = root / "data"

@@ -122,3 +122,41 @@ def test_raw_feeds_pipeline(tmp_path, rng):
                      grid_05=(h5, w5), grid_025=(h25, w25))
     ([d05, t05], [d25, t25], aux, *_s) = load_data(cfg)
     assert aux.shape == (t, h25, w25, 45)
+
+
+def test_dress_rehearsal_tree_roundtrip(tmp_path):
+    """scripts/dress_rehearsal.build_tree at tiny scale: GRACE read from
+    NetCDF DIRECTORIES (the win.py branch — no npys on disk), masks from
+    their (lon,lat)-transposed files, and the ERA5 channels from 0.1deg
+    NetCDF files through read_era's [15:T+15] slice + reorientation +
+    cubic 0.4 zoom — the full file-ingest plumbing the round-5 full-scale
+    rehearsal exercised (VALIDATION.md), locked into CI."""
+    import sys
+    from pathlib import Path as _P
+
+    sys.path.insert(0, str(_P(__file__).resolve().parent.parent))
+    from scripts.dress_rehearsal import build_tree
+
+    from gan_danet_tpu.data.synthetic import make_synthetic_raw, tiny_config
+
+    dc = tiny_config(24)
+    build_tree(tmp_path, seed=0, config=dc)
+    assert not (tmp_path / "project" / "qz_rlwe-05.npy").exists()
+    assert (tmp_path / "project" / "qz_rlwe-05").is_dir()
+
+    cfg = DataConfig(project_dir=str(tmp_path / "project"),
+                     data_dir=str(tmp_path / "data"), era5_subdir="ERA5/11",
+                     n_time=dc.n_time, grid_05=dc.grid_05,
+                     grid_025=dc.grid_025)
+    raw = load_raw_from_files(cfg)
+    ref = make_synthetic_raw(dc, seed=0)
+    np.testing.assert_allclose(raw.grace_05, ref.grace_05, rtol=1e-6)
+    np.testing.assert_allclose(raw.grace_025, ref.grace_025, rtol=1e-6)
+    np.testing.assert_array_equal(raw.mask_high, ref.mask_high)
+    np.testing.assert_array_equal(raw.mask_low, ref.mask_low)
+    np.testing.assert_allclose(raw.gldas, ref.gldas, rtol=1e-6)
+    # ERA5 goes through a 2.5x-up / 0.4x-down zoom round trip: not exact,
+    # but each ingested channel must track its generating field closely
+    for ch in (0, 1, 3, 4, 5):
+        a, b = raw.era5[..., ch].ravel(), ref.era5[..., ch].ravel()
+        assert np.corrcoef(a, b)[0, 1] > 0.98, f"era5 channel {ch}"
